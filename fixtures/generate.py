@@ -288,7 +288,8 @@ def gen_transcripts(tier: str = "xs", total_turns: int | None = None) -> pd.Data
             "role": pd.array(roles, dtype="string"),
             "text": pd.array(texts, dtype="string"),
             "tool": pd.array(tools, dtype="string"),
-            "ts": pd.to_datetime(tss),
+            # microsecond precision: Spark cannot read TIMESTAMP(NANOS)
+            "ts": pd.to_datetime(tss).astype("datetime64[us]"),
         }
     )
     return df

@@ -1,0 +1,134 @@
+"""End-to-end batch extraction job (SURVEY.md §7.1 design stance):
+
+    transcripts scan
+      -> anti-join committed partitions (resume)
+      -> salted repartition by hash(conv_id) (+ turn-range salt)
+      -> sortWithinPartitions(conv_id, turn_idx)
+      -> fused mapInArrow extraction stage
+      -> append output parquet (lineage columns)
+      -> append per-partition manifest rows (metrics)
+
+Chunked commits: logical partitions are processed in ``n_chunks``
+groups; each group is one Spark job whose output append is followed by
+its manifest append, so a killed run resumes at chunk granularity with
+no duplicate rows (tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import __version__
+from .config import DEFAULT_NUM_PARTITIONS, MEGA_CONV_TURNS_PER_SALT
+from .operators.extract import extract_turns
+from .operators.partitioning import (
+    logical_partition_id,
+    prepare_for_extraction,
+)
+from .sources.manifest import (
+    append_manifest,
+    committed_partitions,
+    snapshot_id_for_path,
+)
+from .sources.transcripts import read_transcripts
+
+
+def extract_dataframe(
+    turns: DataFrame,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    salt_turns: int = MEGA_CONV_TURNS_PER_SALT,
+) -> DataFrame:
+    """Pure transformation: transcripts -> extracted turns (no sinks)."""
+    return extract_turns(prepare_for_extraction(turns, num_partitions, salt_turns))
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    manifest_path: str,
+    run_id: Optional[str] = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    salt_turns: int = MEGA_CONV_TURNS_PER_SALT,
+    n_chunks: int = 4,
+    fail_after_chunks: Optional[int] = None,
+) -> dict:
+    """Resumable extraction job. Returns a summary dict.
+
+    ``fail_after_chunks`` injects a crash after k committed chunks
+    (resume tests only).
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    snapshot = snapshot_id_for_path(input_path)
+    turns = read_transcripts(spark, input_path)
+    turns = logical_partition_id(turns, num_partitions)
+
+    done = committed_partitions(spark, manifest_path, snapshot)
+    all_parts = list(range(num_partitions))
+    todo = [p for p in all_parts if p not in done]
+    chunks: List[List[int]] = [
+        todo[i::n_chunks] for i in range(n_chunks) if todo[i::n_chunks]
+    ]
+
+    total_rows = 0
+    for ci, part_group in enumerate(chunks):
+        chunk_df = turns.filter(F.col("partition_id").isin(part_group))
+        prepared = prepare_for_extraction(
+            chunk_df, max(len(part_group), 1), salt_turns
+        )
+        extracted = extract_turns(prepared)
+        # partition_id is a pure function of conv_id -> recompute after
+        # the Arrow stage instead of shipping it through the kernel
+        out = logical_partition_id(extracted, num_partitions)
+        out = (
+            out.withColumn("run_id", F.lit(run_id))
+            .withColumn("source_snapshot_id", F.lit(snapshot))
+            .withColumn("extractor_version", F.lit(__version__))
+        )
+        out.persist()
+        try:
+            out.write.mode("append").parquet(output_path)
+            stats = (
+                out.groupBy("partition_id")
+                .agg(
+                    F.count("*").alias("row_count"),
+                    F.sum("blocks_kept").alias("blocks_kept"),
+                    F.sum("blocks_dropped").alias("blocks_dropped"),
+                    F.sum(F.col("parse_failed").cast("long")).alias("parse_failures"),
+                )
+                .collect()
+            )
+        finally:
+            out.unpersist()
+        seen = {r.partition_id: r for r in stats}
+        now = datetime.now()
+        rows = [
+            {
+                "run_id": run_id,
+                "source_snapshot_id": snapshot,
+                "partition_id": int(p),
+                "row_count": int(seen[p].row_count) if p in seen else 0,
+                "blocks_kept": int(seen[p].blocks_kept or 0) if p in seen else 0,
+                "blocks_dropped": int(seen[p].blocks_dropped or 0) if p in seen else 0,
+                "parse_failures": int(seen[p].parse_failures or 0) if p in seen else 0,
+                "extractor_version": __version__,
+                "committed_at": now,
+            }
+            for p in part_group
+        ]
+        append_manifest(spark, manifest_path, rows)
+        total_rows += sum(r["row_count"] for r in rows)
+        if fail_after_chunks is not None and ci + 1 >= fail_after_chunks:
+            raise RuntimeError(f"injected failure after {ci + 1} chunks")
+
+    return {
+        "run_id": run_id,
+        "source_snapshot_id": snapshot,
+        "partitions_done_before": len(done),
+        "partitions_processed": len(todo),
+        "rows_written": total_rows,
+    }
