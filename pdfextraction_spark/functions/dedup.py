@@ -1,0 +1,223 @@
+"""Deduplication operators for training-data pipelines.
+
+All built from DataFrame primitives so Catalyst keeps pushdown/pruning:
+
+- exact_dedup: hash-groupBy canonicalization (one shuffle on a 64-bit
+  fingerprint, never on raw text — at 100 TB the shuffle key must be
+  fixed-width)
+- ngram_jaccard_pairs: word n-gram shingles -> explode -> equi-join on
+  shingle -> per-pair intersection counts -> Jaccard (candidate pairs
+  share >=1 shingle, so the join IS the blocking step)
+- minhash_lsh_pairs: k permutation-free minhashes via xxhash64(seeded)
+  min-aggregated per doc; bands of r signatures hashed to buckets;
+  bucket equi-join yields candidates, verified by exact Jaccard
+- simhash64: 64-bit sign-sum sketch over shingle hashes; near-dups =
+  pairs within Hamming distance d (bit_count(xor) <= d)
+
+At cluster scale every join here is an equi-join on a hashed key (AQE
+handles bucket skew from hot shingles); common-shingle stoplists drop
+the head of the frequency distribution before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _shingles(col, n: int = 3):
+    """Word n-gram shingles of the lowercased, whitespace-split text."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(_shingles(F.col(text_col), n)).alias("shingles"),
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Canonical row per identical (whitespace-normalized) text:
+    min id wins; dup_count reported. One shuffle on the fingerprint."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), norm.alias("norm_text"))
+        .groupBy("norm_text")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .select("canonical_id", "dup_count")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.6) -> DataFrame:
+    """All pairs (a<b) with word-n-gram Jaccard >= threshold."""
+    sh = with_shingles(df, text_col, id_col, n)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       num_hashes: int = 32) -> DataFrame:
+    """num_hashes minhash values per doc: min over shingles of
+    xxhash64(shingle, seed_i). Seeded-hash families replace explicit
+    permutations (standard MinHash trick)."""
+    sh = with_shingles(df, text_col, id_col, n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return sh.select("doc_id", sig.alias("signature"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      num_hashes: int = 32, bands: int = 8,
+                      threshold: float = 0.5) -> DataFrame:
+    """LSH candidate pairs (banding) verified by exact shingle Jaccard.
+
+    bands of r = num_hashes/bands rows; a pair colliding in ANY band is
+    a candidate (s-curve threshold ~ (1/bands)^(1/r))."""
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    bucket_rows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("signature", bi * r + 1, r),
+                                    lambda v: v.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = bucket_rows.alias("a")
+    b = bucket_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sh = with_shingles(df, text_col, id_col, n)
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """64-bit SimHash: per bit, sign of the sum over shingles of
+    (+1 if hash bit set else -1)."""
+    sh = with_shingles(df, text_col, id_col, n)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    h = ex.withColumn("h", F.xxhash64("s"))
+    # bit tests/reconstruction via shifts — 1<<63 overflows a literal long
+    bit_cols = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = h.groupBy("doc_id").agg(*bit_cols)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim + F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. The pair join blocks
+    on the top-16-bit prefix (at scale: multi-table rotation blocking)."""
+    sh = simhash64(df, text_col, id_col)
+    sh = sh.withColumn("blk", F.shiftrightunsigned("simhash", 48))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            "hamming",
+        )
+    )

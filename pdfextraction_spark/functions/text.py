@@ -1,0 +1,90 @@
+"""Text-analysis column functions (JVM-side built-ins only — no UDFs).
+
+Covers the reference's scalar-function families X1-X13/X21-X22
+(SURVEY.md §2.8) plus the training-data-pipeline additions: token
+counting, quality scoring, language-ID heuristic, document
+fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from ..config import FIELD_KEYWORDS
+
+# X1/X4 field-keyword matcher (spatial_preprocessor.py:19-25)
+FIELD_KEYWORD_RE = "(" + "|".join(FIELD_KEYWORDS) + ")"
+# X9-X11 value patterns (spatial_preprocessor.py:374-384)
+DATE_RE = r"\d{1,2}/\d{1,2}/\d{4}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+SSN_RE = r"\d{3}-\d{2}-\d{4}"
+# BPE-ish token regex: letter runs, digit runs, single punctuation
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny stopword list for the language-ID / quality heuristics
+EN_STOPWORDS = (
+    "the", "and", "of", "to", "a", "in", "is", "it", "for", "on",
+    "with", "as", "was", "at", "by", "an", "be", "this", "that", "or",
+)
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokens (X22, multipage_processor.py:37 semantics)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def ws_token_count(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(ws_tokens(col))
+    )
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Sub-word-ish token count via the BPE-style regex."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+
+
+def punct_ratio(col: Column) -> Column:
+    punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        punct / F.length(col)
+    )
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = ws_tokens(F.lower(col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits / F.size(toks)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0,1]: length band + low punctuation
+    + stopword presence (the usual pretraining-filter trio)."""
+    n = F.length(col)
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    return (len_score + punct_score + stop_score) / 3.0
+
+
+def is_english(col: Column, threshold: float = 0.05) -> Column:
+    """N-gram-free language-ID heuristic: stopword hit ratio + ASCII
+    letter dominance."""
+    ascii_ratio = F.length(F.regexp_replace(col, r"[^\x00-\x7F]", "")) / \
+        F.greatest(F.length(col), F.lit(1))
+    return (stopword_ratio(col) >= threshold) & (ascii_ratio >= 0.9)
+
+
+def field_keyword_hit(col: Column) -> Column:
+    """X1: text contains any of the 31 field keywords."""
+    return F.lower(col).rlike(FIELD_KEYWORD_RE)
+
+
+def fingerprint64(col: Column) -> Column:
+    """Deterministic 64-bit document fingerprint (rolling-hash
+    analogue): xxhash64 of the whitespace-normalized lowercased text.
+    Used for exact-dup detection at scale (shuffle key, not content
+    compare)."""
+    return F.xxhash64(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
