@@ -295,6 +295,51 @@ def gen_transcripts(tier: str = "xs", total_turns: int | None = None) -> pd.Data
     return df
 
 
+def gen_transcripts_fast(total_turns: int, pool_size: int = 4096,
+                         n_convs: int = 2000) -> pd.DataFrame:
+    """Bench-tier generator: builds a pool of distinct payloads then
+    tiles it across turns (payload construction is the slow part; the
+    extraction cost profile is preserved). Deterministic, seed 42,
+    keeps the zipf + 2-mega-conversation skew profile."""
+    rng = np.random.default_rng(SEED)
+    pool = []
+    for i in range(pool_size):
+        prng = np.random.default_rng(SEED * 7 + i)
+        mix = prng.random()
+        if mix < 0.4:
+            pool.append(_gen_plain(prng))
+        elif mix < 0.7:
+            pool.append(_gen_html(prng))
+        else:
+            pool.append(_gen_pdf(prng))
+    pool_arr = np.asarray(pool, dtype=object)
+
+    counts = _turn_counts(n_convs, total_turns, rng, mega=2)
+    total = int(counts.sum())
+    conv_ord = np.repeat(np.arange(n_convs), counts)
+    turn_idx = (np.arange(total) - np.r_[0, np.cumsum(counts)[:-1]][conv_ord]).astype(np.int32)
+    payload_idx = (conv_ord * 2654435761 + turn_idx * 40503) % pool_size
+    roles = np.asarray(_ROLES, dtype=object)[turn_idx % 3]
+    ts = (
+        np.datetime64(_BASE_TS, "us")
+        + (conv_ord.astype("int64") * 420 + turn_idx.astype("int64") * 13)
+        * np.timedelta64(1, "s")
+    )
+    return pd.DataFrame(
+        {
+            "conv_id": pd.array(
+                np.char.add("conv-", np.char.zfill(conv_ord.astype(str), 6)),
+                dtype="string",
+            ),
+            "turn_idx": turn_idx,
+            "role": pd.array(roles, dtype="string"),
+            "text": pd.array(pool_arr[payload_idx], dtype="string"),
+            "tool": pd.array([None] * total, dtype="string"),
+            "ts": pd.Series(ts).astype("datetime64[us]"),
+        }
+    )
+
+
 def write_transcripts_parquet(path: str, tier: str = "xs",
                               total_turns: int | None = None) -> str:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

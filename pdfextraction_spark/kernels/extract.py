@@ -5,11 +5,18 @@ vectorized, routes each kind to its kernel, and assembles the output
 columns (payload_kind, extracted_text, spans, blocks_kept,
 blocks_dropped, parse_failed). Replaces the reference's three LLM call
 sites with its own deterministic machinery (SURVEY.md §2.10).
-"""
+
+Envelope decoding has a regex fast path matched to the canonical
+encoder shape (payload.encode_pdf_envelope) that extracts word
+text/coords straight into flat NumPy arrays (no per-word dicts); any
+envelope the regex cannot fully account for falls back to strict
+json.loads, and a failed parse degrades to passthrough+parse_failed
+(the conservative stance of SURVEY.md §7.4)."""
 
 from __future__ import annotations
 
 import json
+import re
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -23,9 +30,18 @@ from ..payload import (
     _PDF_PREFIX_RE,
 )
 from .htmlstrip import strip_html_doc
-from .layout import reflow_batch
+from .layout import reflow_flat
 
 Span = Tuple[str, int, int]
+
+# canonical encoder word shape: {"t": "...", "x0": N, "y0": N, "x1": N, "y1": N}
+_WORD_FAST_RE = re.compile(
+    r'\{"t": "((?:[^"\\]|\\.)*)", '
+    r'"x0": ([-+0-9.eE]+), "y0": ([-+0-9.eE]+), '
+    r'"x1": ([-+0-9.eE]+), "y1": ([-+0-9.eE]+)\}'
+)
+_WORD_COUNT_RE = re.compile(r'\{"t":')
+_ESCAPE_RE = re.compile(r"\\")
 
 
 def detect_kinds(texts: pd.Series) -> np.ndarray:
@@ -39,89 +55,183 @@ def detect_kinds(texts: pd.Series) -> np.ndarray:
     return kinds
 
 
-def _decode_envelope_fast(text: str) -> Optional[List[Tuple[str, float, float, float, float]]]:
+def _decode_json_strict(text: str):
     try:
         obj = json.loads(text)
-        return [
-            (str(w["t"]), float(w["x0"]), float(w["y0"]), float(w["x1"]), float(w["y1"]))
-            for w in obj["words"]
-        ]
+        words = obj["words"]
+        return (
+            [str(w["t"]) for w in words],
+            [(float(w["x0"]), float(w["y0"]), float(w["x1"]), float(w["y1"]))
+             for w in words],
+        )
     except Exception:
         return None
 
 
-def _assemble_lines(lines: List[Tuple[str, str]]) -> Tuple[str, List[Span]]:
-    parts: List[str] = []
-    spans: List[Span] = []
-    pos = 0
-    for label, text in lines:
-        parts.append(text)
-        spans.append((label, pos, pos + len(text)))
-        pos += len(text) + 1
-    return "\n".join(parts), spans
+def _decode_envelopes_flat(texts: List[str]):
+    """Decode a list of pdf_layout envelopes into flat arrays.
+
+    Returns (doc_sizes int64[n], t_arr object[w], coord float64[w,4],
+    failed bool[n]). A failed doc has size 0 and failed=True."""
+    n = len(texts)
+    sizes = np.zeros(n, dtype=np.int64)
+    failed = np.zeros(n, dtype=bool)
+    all_t: List[str] = []
+    all_c: List[Tuple[float, float, float, float]] = []
+    for i, s in enumerate(texts):
+        matches = _WORD_FAST_RE.findall(s)
+        if len(matches) != len(_WORD_COUNT_RE.findall(s)):
+            dec = _decode_json_strict(s)
+            if dec is None:
+                failed[i] = True
+                continue
+            ts, cs = dec
+            sizes[i] = len(ts)
+            all_t.extend(ts)
+            all_c.extend(cs)
+            continue
+        sizes[i] = len(matches)
+        for t, a, b, cxr, dyr in matches:
+            if "\\" in t:
+                t = json.loads(f'"{t}"')
+            all_t.append(t)
+            all_c.append((float(a), float(b), float(cxr), float(dyr)))
+    t_arr = np.asarray(all_t, dtype=object)
+    coord = (
+        np.asarray(all_c, dtype=np.float64)
+        if all_c
+        else np.zeros((0, 4), dtype=np.float64)
+    )
+    return sizes, t_arr, coord, failed
 
 
-def extract_batch(texts: pd.Series) -> pd.DataFrame:
-    """Extract one batch of turn texts.
+class FlatResult:
+    """Columnar extraction result: spans kept as flat parallel arrays
+    (label/start/end + per-row counts) so the Spark operator can build
+    an Arrow ListArray with zero per-span Python objects."""
 
-    Returns a DataFrame aligned with ``texts`` (same order) with
-    columns payload_kind, extracted_text, spans (list of (label,
-    start, end)), blocks_kept, blocks_dropped, parse_failed.
+    __slots__ = ("kinds", "text", "span_counts", "span_labels",
+                 "span_starts", "span_ends", "kept", "dropped", "failed")
+
+    def __init__(self, n: int):
+        self.kinds: np.ndarray = np.empty(0, dtype=object)
+        self.text = np.empty(n, dtype=object)
+        self.span_counts = np.zeros(n, dtype=np.int32)
+        self.span_labels: List[str] = []
+        self.span_starts: List[int] = []
+        self.span_ends: List[int] = []
+        self.kept = np.zeros(n, dtype=np.int32)
+        self.dropped = np.zeros(n, dtype=np.int32)
+        self.failed = np.zeros(n, dtype=bool)
+
+    def spans_per_row(self) -> List[List[Span]]:
+        out: List[List[Span]] = []
+        offs = np.r_[0, np.cumsum(self.span_counts)]
+        for i in range(len(self.span_counts)):
+            out.append(
+                list(zip(self.span_labels[offs[i]:offs[i + 1]],
+                         self.span_starts[offs[i]:offs[i + 1]],
+                         self.span_ends[offs[i]:offs[i + 1]]))
+            )
+        return out
+
+
+def extract_batch_flat(texts: pd.Series) -> FlatResult:
+    """Extract one batch of turn texts into columnar outputs.
+
+    Rows are processed GROUPED BY KIND then restitched by index; span
+    triples append to flat lists in row order within each kind group,
+    so span_counts + cumulative offsets address them after reordering.
     """
     n = len(texts)
     s = texts.fillna("").reset_index(drop=True)
-    kinds = detect_kinds(s)
+    sv = s.to_numpy(dtype=object)
+    res = FlatResult(n)
+    res.kinds = detect_kinds(s)
 
-    out_text = np.empty(n, dtype=object)
-    out_spans: List[List[Span]] = [[] for _ in range(n)]
-    kept = np.zeros(n, dtype=np.int32)
-    dropped = np.zeros(n, dtype=np.int32)
-    failed = np.zeros(n, dtype=bool)
+    # spans accumulate per row index; build per-kind then reorder once
+    row_spans_label: List[Optional[List[str]]] = [None] * n
+    row_spans_se: List[Optional[Tuple[List[int], List[int]]]] = [None] * n
 
-    # plain: passthrough (golden: text unchanged, one [0, len) span)
-    plain_idx = np.flatnonzero(kinds == KIND_PLAIN)
-    for i in plain_idx:
-        t = s.iloc[int(i)]
-        out_text[i] = t
-        if t:
-            out_spans[i] = [("text", 0, len(t))]
-            kept[i] = 1
+    plain_idx = np.flatnonzero(res.kinds == KIND_PLAIN)
+    if len(plain_idx):
+        res.text[plain_idx] = sv[plain_idx]
+        for i in plain_idx.tolist():
+            t = sv[i]
+            if t:
+                row_spans_label[i] = ["text"]
+                row_spans_se[i] = ([0], [len(t)])
+                res.span_counts[i] = 1
+                res.kept[i] = 1
 
-    # html: boilerplate strip
-    html_idx = np.flatnonzero(kinds == KIND_HTML)
-    for i in html_idx:
-        t, spans, k, d, f = strip_html_doc(s.iloc[int(i)])
-        out_text[i] = t
-        out_spans[i] = spans
-        kept[i], dropped[i], failed[i] = k, d, f
+    html_idx = np.flatnonzero(res.kinds == KIND_HTML)
+    for i in html_idx.tolist():
+        t, spans, k, dcount, f = strip_html_doc(sv[i])
+        res.text[i] = t
+        if spans:
+            row_spans_label[i] = [sp[0] for sp in spans]
+            row_spans_se[i] = ([sp[1] for sp in spans], [sp[2] for sp in spans])
+            res.span_counts[i] = len(spans)
+        res.kept[i], res.dropped[i], res.failed[i] = k, dcount, f
 
-    # pdf_layout: decode envelopes, reflow the whole sub-batch at once
-    pdf_idx = np.flatnonzero(kinds == KIND_PDF)
+    pdf_idx = np.flatnonzero(res.kinds == KIND_PDF)
     if len(pdf_idx):
-        decoded = [_decode_envelope_fast(s.iloc[int(i)]) for i in pdf_idx]
-        reflowed = reflow_batch(decoded)
-        for i, words, lines in zip(pdf_idx, decoded, reflowed):
-            if words is None:
+        pdf_texts = [sv[i] for i in pdf_idx.tolist()]
+        sizes, t_arr, coord, dec_failed = _decode_envelopes_flat(pdf_texts)
+        reflowed = reflow_flat(len(pdf_texts), sizes, t_arr, coord, dec_failed)
+        for j, i in enumerate(pdf_idx.tolist()):
+            if dec_failed[j]:
                 # undecodable envelope -> conservative passthrough
-                t = s.iloc[int(i)]
-                out_text[i] = t
-                out_spans[i] = [("text", 0, len(t))] if t else []
-                kept[i] = 1 if t else 0
-                failed[i] = True
+                t = sv[i]
+                res.text[i] = t
+                if t:
+                    row_spans_label[i] = ["text"]
+                    row_spans_se[i] = ([0], [len(t)])
+                    res.span_counts[i] = 1
+                    res.kept[i] = 1
+                res.failed[i] = True
                 continue
-            text, spans = _assemble_lines(lines)
-            out_text[i] = text
-            out_spans[i] = spans
-            kept[i] = len(lines)
-            failed[i] = len(lines) == 0
+            lines = reflowed[j]
+            labels: List[str] = []
+            starts: List[int] = []
+            ends: List[int] = []
+            parts: List[str] = []
+            pos = 0
+            for label, line_text in lines:
+                parts.append(line_text)
+                labels.append(label)
+                starts.append(pos)
+                pos += len(line_text)
+                ends.append(pos)
+                pos += 1
+            res.text[i] = "\n".join(parts)
+            if labels:
+                row_spans_label[i] = labels
+                row_spans_se[i] = (starts, ends)
+                res.span_counts[i] = len(labels)
+            res.kept[i] = len(lines)
+            res.failed[i] = len(lines) == 0
 
+    for i in range(n):
+        if row_spans_label[i] is not None:
+            res.span_labels.extend(row_spans_label[i])
+            st, en = row_spans_se[i]
+            res.span_starts.extend(st)
+            res.span_ends.extend(en)
+    return res
+
+
+def extract_batch(texts: pd.Series) -> pd.DataFrame:
+    """Row-oriented wrapper over extract_batch_flat (tests/golden
+    comparisons); Spark uses the flat form directly."""
+    res = extract_batch_flat(texts)
     return pd.DataFrame(
         {
-            "payload_kind": kinds,
-            "extracted_text": out_text,
-            "spans": out_spans,
-            "blocks_kept": kept,
-            "blocks_dropped": dropped,
-            "parse_failed": failed,
+            "payload_kind": res.kinds,
+            "extracted_text": res.text,
+            "spans": res.spans_per_row(),
+            "blocks_kept": res.kept,
+            "blocks_dropped": res.dropped,
+            "parse_failed": res.failed,
         }
     )

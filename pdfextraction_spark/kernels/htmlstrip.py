@@ -41,9 +41,24 @@ def _norm(s: str) -> str:
     return _WS_RE.sub(" ", s).strip()
 
 
+_CDATA_CLOSE = {
+    t: re.compile(rf"</{t}(?:\s[^>]*)?>", re.IGNORECASE) for t in _CDATA_TAGS
+}
+
+
+def _norm_len(seg: str) -> int:
+    """len(_norm(seg)) without building the normalized string:
+    str.split() splits on the same unicode whitespace class as \\s+."""
+    words = seg.split()
+    if not words:
+        return 0
+    return sum(map(len, words)) + len(words) - 1
+
+
 def strip_html_doc(html: str) -> Tuple[str, List[Tuple[str, int, int]], int, int, bool]:
     """Single-document strip; same return contract as
-    oracle.htmlstrip.strip_html."""
+    oracle.htmlstrip.strip_html. Flat scan loop: one regex match per
+    tag, text segments handled inline."""
     blocks: List[Tuple[str, str, int, int]] = []
     drop_depth = 0
     cur_tag = "p"
@@ -51,43 +66,33 @@ def strip_html_doc(html: str) -> Tuple[str, List[Tuple[str, int, int]], int, int
     link_depth = 0
     chars = 0
     link_chars = 0
-
-    def flush(next_tag: str) -> None:
-        nonlocal buf, chars, link_chars, cur_tag
-        blocks.append((cur_tag, "".join(buf), chars, link_chars))
-        buf = []
-        chars = 0
-        link_chars = 0
-        cur_tag = next_tag
-
-    def text(seg: str) -> None:
-        nonlocal chars, link_chars
-        if drop_depth or not seg:
-            return
-        t = unescape(seg)
-        buf.append(t)
-        n = len(_norm(t))
-        chars += n
-        if link_depth:
-            link_chars += n
-
     pos = 0
     length = len(html)
+
     while pos < length:
         m = _TAG_RE.search(html, pos)
+        seg_end = m.start() if m else length
+        if seg_end > pos and not drop_depth:
+            seg = html[pos:seg_end]
+            if "&" in seg:
+                seg = unescape(seg)
+            buf.append(seg)
+            nn = _norm_len(seg)
+            chars += nn
+            if link_depth:
+                link_chars += nn
         if m is None:
-            text(html[pos:])
             break
-        text(html[pos:m.start()])
         pos = m.end()
-        if m.group(2) is None:
+        tag = m.group(2)
+        if tag is None:
             continue  # comment / doctype / CDATA / PI
+        tag = tag.lower()
         closing = m.group(1) == "/"
-        tag = m.group(2).lower()
         selfclose = m.group(4) == "/"
         if not closing and tag in _CDATA_TAGS and not selfclose:
             # CDATA content: skip straight to the matching close tag
-            cm = re.compile(rf"</{tag}(?:\s[^>]*)?>", re.IGNORECASE).search(html, pos)
+            cm = _CDATA_CLOSE[tag].search(html, pos)
             pos = cm.end() if cm else length
             continue
         if tag in HTML_DROP_SUBTREES:
@@ -102,19 +107,23 @@ def strip_html_doc(html: str) -> Tuple[str, List[Tuple[str, int, int]], int, int
         if drop_depth:
             continue
         if tag in HTML_BLOCK_TAGS:
+            blocks.append((cur_tag, "".join(buf), chars, link_chars))
+            buf = []
+            chars = 0
+            link_chars = 0
             if closing:
-                flush("p")
-            elif selfclose:
-                flush(cur_tag if tag in ("br", "hr") else tag)
+                cur_tag = "p"
+            elif tag in ("br", "hr"):
+                pass  # void separators keep the enclosing block tag
             else:
-                flush(tag if tag not in ("br", "hr") else cur_tag)
+                cur_tag = tag
         elif tag == "a":
             if closing:
                 if link_depth:
                     link_depth -= 1
             elif not selfclose:
                 link_depth += 1
-    flush("p")
+    blocks.append((cur_tag, "".join(buf), chars, link_chars))
 
     kept: List[Tuple[str, str]] = []
     dropped = 0

@@ -4,46 +4,55 @@ The reference's three sequential steps (classify -> identify ->
 extract, app.py:206-904) collapse into a single narrow Arrow stage
 (SURVEY.md §7.1): detect payload kind, strip/reflow, emit text +
 spans + metrics. No shuffle; whole batches flow Arrow -> NumPy ->
-Arrow with zero per-row Python at the Spark boundary.
-"""
+Arrow. Span structs are built via ``ListArray.from_arrays`` over flat
+label/start/end arrays — zero per-span Python objects cross the
+boundary."""
 
 from __future__ import annotations
 
-from typing import Iterator, List
+from typing import Iterator
 
+import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
 
-from ..kernels import extract_batch
-from ..schema import EXTRACTED_ARROW, SPAN_ARROW
+from ..kernels.extract import extract_batch_flat
+from ..schema import EXTRACTED_ARROW
 
 _PASSTHROUGH = ["conv_id", "turn_idx", "role"]
 
 
-def _spans_to_arrow(spans_lists: List[List[tuple]]) -> pa.Array:
-    return pa.array(
-        [
-            [{"label": l, "start": s, "end": e} for (l, s, e) in spans]
-            for spans in spans_lists
-        ],
-        type=SPAN_ARROW,
+def _spans_list_array(res) -> pa.ListArray:
+    offsets = pa.array(
+        np.r_[np.int32(0), np.cumsum(res.span_counts, dtype=np.int64)].astype(
+            np.int32
+        )
     )
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(res.span_labels, type=pa.string()),
+            pa.array(res.span_starts, type=pa.int32()),
+            pa.array(res.span_ends, type=pa.int32()),
+        ],
+        names=["label", "start", "end"],
+    )
+    return pa.ListArray.from_arrays(offsets, struct)
 
 
 def _extract_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     for batch in it:
         texts = batch.column("text").to_pandas()
-        out = extract_batch(texts)
+        res = extract_batch_flat(texts)
         arrays = [
             batch.column("conv_id"),
             batch.column("turn_idx").cast(pa.int32()),
             batch.column("role"),
-            pa.array(out["payload_kind"], type=pa.string()),
-            pa.array(out["extracted_text"], type=pa.string()),
-            _spans_to_arrow(list(out["spans"])),
-            pa.array(out["blocks_kept"], type=pa.int32()),
-            pa.array(out["blocks_dropped"], type=pa.int32()),
-            pa.array(out["parse_failed"], type=pa.bool_()),
+            pa.array(res.kinds, type=pa.string()),
+            pa.array(res.text, type=pa.string()),
+            _spans_list_array(res),
+            pa.array(res.kept, type=pa.int32()),
+            pa.array(res.dropped, type=pa.int32()),
+            pa.array(res.failed, type=pa.bool_()),
         ]
         yield pa.RecordBatch.from_arrays(arrays, schema=EXTRACTED_ARROW)
 
