@@ -287,6 +287,14 @@ def q_merge_conv_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_conversation_fields(ex)
 
 
+def q_extract_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 coordinate table extraction (J3/J4/W3/A4/A5/F2-F4 families,
+    coordinate_table_extractor.py) over pdf_layout turns."""
+    from pdfextraction_spark.operators.tables import extract_tables
+
+    return extract_tables(_fixture_turns(spark, sf_dir))
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfextraction_spark.functions.dedup import minhash_lsh_pairs
 
@@ -330,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_turns": q_extract_turns,
         "extract_metrics": q_extract_metrics,
         "merge_conv_fields": q_merge_conv_fields,
+        "extract_tables": q_extract_tables,
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh,
