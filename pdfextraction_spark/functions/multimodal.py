@@ -1,0 +1,185 @@
+"""Multimodal (image/audio/video) column operators.
+
+Media travel as opaque ``binary`` columns with a typed metadata
+struct; all per-item work runs in Arrow-batched ``mapInPandas`` stages
+(one pandas frame per Arrow batch — never row-at-a-time Python UDFs).
+
+This container has no image/audio codecs, so the DECODE step is
+stubbed (SURVEY/task contract): ``decode_image_real`` raises
+``NotImplementedError`` with the dependency it would use, and the
+default path is a **deterministic fake decoder** keyed off the fixture
+blob header, so the Spark-side plumbing — schema, partitioning, UDF
+signatures, batch shapes, explode of sampled frames — is real and
+fully tested. Swapping in PIL/libsndfile/ffmpeg touches only the
+``*_real`` functions.
+
+Scale notes: media blobs dominate bytes, so operators repartition by
+``xxhash64(media_id)`` (uniform, no conv skew) and column-prune before
+the Arrow stage; feature outputs are fixed-width so downstream joins
+shuffle features, never blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("data", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                    T.StructField("format", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+_MAGIC = b"FAKEMEDIA1"
+
+
+def encode_fake_blob(kind: str, seed: int, n_payload: int = 256) -> bytes:
+    """Deterministic fixture blob: magic + kind + seeded bytes."""
+    rng = np.random.default_rng(seed)
+    return _MAGIC + kind.encode() + b"\x00" + rng.integers(
+        0, 256, size=n_payload, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_image_real(data: bytes):
+    """Real decoder stub — NOT AVAILABLE in this container."""
+    raise NotImplementedError(
+        "real image decode requires PIL/pillow (not installed here); "
+        "wire PIL.Image.open(io.BytesIO(data)) in this function"
+    )
+
+
+def _fake_pixel_stats(data: bytes) -> tuple:
+    """Deterministic fake decode: stats derived from the blob bytes —
+    stable across runs/executors (no RNG, no time)."""
+    digest = hashlib.sha256(data).digest()
+    arr = np.frombuffer(data[-min(len(data), 256):], dtype=np.uint8)
+    return (
+        float(arr.mean()) if len(arr) else 0.0,
+        float(arr.std()) if len(arr) else 0.0,
+        int.from_bytes(digest[:8], "big", signed=True),
+    )
+
+
+def image_features(media: DataFrame, num_partitions: int = 32) -> DataFrame:
+    """Decode(+stub) images and emit fixed-width features."""
+    ddl = ("media_id long, width int, height int, mean_byte double, "
+           "std_byte double, phash long")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [_fake_pixel_stats(b) for b in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "width": pdf["width"].to_numpy(),
+                    "height": pdf["height"].to_numpy(),
+                    "mean_byte": np.asarray([s[0] for s in stats]),
+                    "std_byte": np.asarray([s[1] for s in stats]),
+                    "phash": np.asarray([s[2] for s in stats], dtype=np.int64),
+                }
+            )
+
+    pruned = (
+        media.filter(F.col("kind") == "image")
+        .select(
+            "media_id", "data",
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+        )
+        .repartition(num_partitions, F.xxhash64("media_id"))
+    )
+    return pruned.mapInPandas(fn, ddl)
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize plan: new dims computed JVM-side (pure column math); the
+    pixel resample itself is the stubbed decode step, so the output
+    carries the original blob + target dims (real impl would re-encode
+    in the same mapInPandas stage)."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(F.lit(1.0), F.lit(max_side) / F.greatest(w, h))
+    return media.filter(F.col("kind") == "image").select(
+        "media_id",
+        "data",
+        F.round(w * scale).cast("int").alias("new_width"),
+        F.round(h * scale).cast("int").alias("new_height"),
+    )
+
+
+def sample_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame index
+    (0, k, 2k, ...) — the explode/batch plumbing is real; the frame
+    blob is the deterministic fake (sha of data+frame_idx)."""
+    ddl = "media_id long, frame_idx int, frame_digest string"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digs = [], [], []
+            for mid, data, n_frames in zip(
+                pdf["media_id"], pdf["data"], pdf["n_frames"]
+            ):
+                for fi in range(0, int(n_frames), every_k):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    digs.append(
+                        hashlib.sha256(bytes(data) + fi.to_bytes(4, "big")).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids,
+                 "frame_idx": pd.array(idxs, dtype="int32"),
+                 "frame_digest": digs}
+            )
+
+    pruned = media.filter(F.col("kind") == "video").select(
+        "media_id", "data", F.col("meta.n_frames").alias("n_frames")
+    )
+    return pruned.mapInPandas(fn, ddl)
+
+
+def gen_media_fixture(spark, n_items: int = 60, seed: int = 42) -> DataFrame:
+    """Deterministic media table fixture."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n_items):
+        kind = kinds[i % 3]
+        rows.append(
+            (
+                i,
+                f"conv-{i % 7:06d}",
+                i % 5,
+                kind,
+                bytearray(encode_fake_blob(kind, seed * 10007 + i)),
+                (
+                    int(rng.integers(100, 2000)) if kind == "image" else None,
+                    int(rng.integers(100, 2000)) if kind == "image" else None,
+                    16000 if kind == "audio" else None,
+                    int(rng.integers(30, 300)) if kind == "video" else None,
+                    {"image": "fake_png", "audio": "fake_wav",
+                     "video": "fake_mp4"}[kind],
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,173 @@
+"""Dedup + similarity operator verification (the non-SQL-checkable
+ops): MinHash-LSH candidates vs exact Jaccard ground truth, LSH-ANN
+recall vs brute force, SimHash sanity, conversation merge semantics
+vs the reference merger's rules."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdfextraction_spark.functions import dedup as D
+from pdfextraction_spark.functions import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Synthetic near-dup corpus: base docs + mutated copies."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    did = 0
+    for b in range(30):
+        base = list(rng.choice(vocab, size=40))
+        rows.append((did, " ".join(base))); did += 1
+        if b % 2 == 0:  # near-dup: mutate 3 tokens
+            mut = list(base)
+            for j in rng.integers(0, 40, size=3):
+                mut[int(j)] = vocab[int(rng.integers(0, 200))]
+            rows.append((did, " ".join(mut))); did += 1
+        if b % 5 == 0:  # exact dup
+            rows.append((did, " ".join(base))); did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    """Clustered embeddings (30 centroids x 10 points, small noise) —
+    real embedding spaces have strong neighbors; for isotropic random
+    vectors sign-LSH recall is provably ~(1-theta/pi)^bits ~ chance."""
+    rng = np.random.default_rng(11)
+    cents = rng.standard_normal((30, 32))
+    vecs = np.concatenate(
+        [c + 0.15 * rng.standard_normal((10, 32)) for c in cents]
+    ).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.cache().count()
+    return df
+
+
+@pytest.mark.slow
+class TestDedup:
+    def test_exact_dedup_counts(self, docs):
+        out = D.exact_dedup(docs).toPandas()
+        n_docs = docs.count()
+        assert out["dup_count"].sum() == n_docs
+        assert (out["dup_count"] >= 2).sum() >= 6  # planted exact dups
+
+    def test_minhash_lsh_finds_near_dups(self, docs):
+        truth = D.ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+        # r=2, b=16 -> catch prob 1-(1-s^2)^16 = 0.99 at s=0.5
+        got = D.minhash_lsh_pairs(docs, threshold=0.5,
+                                  num_hashes=32, bands=16).toPandas()
+        t = set(zip(truth.id_a, truth.id_b))
+        g = set(zip(got.id_a, got.id_b))
+        assert t, "fixture must contain near-dup pairs"
+        # candidates are verified by exact jaccard -> no false positives
+        assert g <= t
+        assert len(g) / len(t) >= 0.9
+        # jaccard values agree exactly where both report the pair
+        merged = truth.merge(got, on=["id_a", "id_b"], suffixes=("_t", "_g"))
+        assert (merged["jaccard_t"] == merged["jaccard_g"]).all()
+
+    def test_simhash_exact_dups_collide(self, docs, spark):
+        sh = D.simhash64(docs).toPandas()
+        texts = docs.toPandas().set_index("doc_id")["text"]
+        by_text = {}
+        for _, r in sh.iterrows():
+            by_text.setdefault(texts[r.doc_id], []).append(r.simhash)
+        for t, hashes in by_text.items():
+            assert len(set(hashes)) == 1  # identical text -> identical hash
+        pairs = D.simhash_near_pairs(docs, max_hamming=0).toPandas()
+        assert len(pairs) >= 6  # exact dups at hamming 0
+
+
+@pytest.mark.slow
+class TestSimilarity:
+    def test_lsh_recall_vs_brute_force(self, emb):
+        from pyspark.sql import functions as F
+
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        bf = S.brute_force_topk(emb, queries, k=10).toPandas()
+        approx = S.lsh_bucket_topk(emb, queries, k=10, bits=4, dim=32).toPandas()
+        recalls = []
+        for q in range(10):
+            t = set(bf[bf.query_id == q].vec_id)
+            g = set(approx[approx.query_id == q].vec_id)
+            recalls.append(len(t & g) / len(t))
+        # 4-bit sign LSH keeps ~1/16 of candidates; same-cluster
+        # neighbors (cos ~0.95) land in the query's bucket most bits
+        assert np.mean(recalls) >= 0.5
+        # approx sims must be a subset of exact sims (same scorer)
+        merged = bf.merge(approx, on=["query_id", "vec_id"],
+                          suffixes=("_t", "_g"))
+        assert (merged["sim_t"] == merged["sim_g"]).all()
+
+    def test_brute_force_self_consistency(self, emb):
+        from pyspark.sql import functions as F
+
+        queries = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = S.brute_force_topk(emb, queries, k=5).toPandas()
+        assert list(out["rank"]) == [1, 2, 3, 4, 5]
+        assert (out["sim"].diff().dropna() <= 0).all()  # descending
+
+
+@pytest.mark.slow
+class TestConversationMerge:
+    def test_longest_wins_and_conflicts(self, spark):
+        """result_merger.py:93-120 semantics: longest non-null value
+        wins; repeated non-null occurrences flag a conflict; ties go to
+        the earliest turn."""
+        from pdfextraction_spark.operators.merge import (
+            merge_conversation_fields,
+        )
+
+        rows = [
+            ("c1", 0, "Emp Id:\t123"),
+            ("c1", 1, "Emp Id:\t12345    Status:\t[EMPTY]"),
+            ("c1", 2, "Status:\tA"),
+            ("c2", 0, "Phone:\t509-121-3247"),
+            ("c2", 1, "Phone:\t509-121-3247"),
+            ("c3", 0, "Dept:\tB2    Dept:\tA1"),  # tie length, same turn
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, extracted_text string"
+        )
+        out = {
+            (r.conv_id, r.field): r
+            for r in merge_conversation_fields(df).collect()
+        }
+        assert out[("c1", "Emp Id")].value == "12345"
+        assert out[("c1", "Emp Id")].conflict_detected
+        assert out[("c1", "Emp Id")].source_turn == 1
+        # [EMPTY] -> null, not an occurrence
+        assert out[("c1", "Status")].value == "A"
+        assert not out[("c1", "Status")].conflict_detected
+        # identical repeated value still flags (reference marks any re-see)
+        assert out[("c2", "Phone")].conflict_detected
+        # tie on length within one turn -> earliest position wins
+        assert out[("c3", "Dept")].value == "B2"
+
+    def test_accumulate_lines_ordered(self, spark):
+        from pdfextraction_spark.operators.merge import (
+            accumulate_conversation_lines,
+        )
+
+        rows = [
+            ("c1", 1, "b1\nb2"),
+            ("c1", 0, "a1"),
+            ("c1", 2, "c1line"),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, extracted_text string"
+        )
+        out = accumulate_conversation_lines(df).collect()[0]
+        assert out.lines == ["a1", "b1", "b2", "c1line"]
+        assert out.source_turns == [0, 1, 2]
+        assert out.spans_multiple_turns
