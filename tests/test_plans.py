@@ -1,0 +1,51 @@
+"""Physical-plan audits: the properties that make the engine hold at
+100 TB must survive refactors — filter pushdown to the scan, column
+pruning, broadcast of small dims, map-side partial aggregation, and
+exactly ONE exchange in the extraction pipeline (the mandated salted
+repartition)."""
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.slow
+class TestPlans:
+    def test_filter_pushdown_and_pruning(self, spark):
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_windowed_sums(spark, "/root/testdata/sf0.001"))
+        assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in plan
+        assert "ReadSchema: struct<ts:timestamp_ntz,event_type:string,value:double>" in plan
+
+    def test_small_dim_broadcast(self, spark):
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_format_pairs(spark, "/root/testdata/sf0.001"))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_partial_aggregation(self, spark):
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_group_stats(spark, "/root/testdata/sf0.001"))
+        # partial + final HashAggregate around a single exchange
+        assert plan.count("HashAggregate") == 2
+        assert plan.count("Exchange") == 1
+
+    def test_extraction_single_shuffle_pruned_scan(self, spark, xs_parquet):
+        from pdfextraction_spark.pipeline import extract_dataframe
+
+        turns = spark.read.parquet(xs_parquet)
+        plan = _plan(extract_dataframe(turns, 8))
+        assert plan.count("Exchange") == 1  # only the salted repartition
+        assert ("ReadSchema: struct<conv_id:string,turn_idx:int,"
+                "role:string,text:string>") in plan  # ts/tool pruned
+
+    def test_ann_broadcasts_queries(self, spark):
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_ann_topk(spark, "/root/testdata/sf0.001"))
+        assert "BroadcastNestedLoopJoin" in plan
