@@ -295,6 +295,57 @@ def q_extract_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_tables(_fixture_turns(spark, sf_dir))
 
 
+def q_table_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 row-structure anomaly check (result_merger.py:233-242):
+    tables whose rows carry differing non-null cell counts."""
+    from pdfextraction_spark.operators.tables import extract_tables
+
+    t = extract_tables(_fixture_turns(spark, sf_dir))
+    cells_filled = F.size(F.filter("cells", lambda c: c.isNotNull()))
+    return (
+        t.groupBy("conv_id", "turn_idx", "table_idx")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.count_distinct(cells_filled) > 1).alias("anomaly"),
+        )
+    )
+
+
+def q_conv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 simplified schema view (openai_service.py:428-486): field
+    names only, per conversation."""
+    from pdfextraction_spark.operators.merge import merge_conversation_fields
+    from pdfextraction_spark.pipeline import extract_dataframe
+
+    ex = extract_dataframe(_fixture_turns(spark, sf_dir), num_partitions=8)
+    return merge_conversation_fields(ex).groupBy("conv_id").agg(
+        F.array_sort(F.collect_set("field")).alias("form_fields"),
+        F.count("*").alias("n_fields"),
+    )
+
+
+def q_fence_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16/X17 markdown-fence JSON extraction + repair
+    (openai_service.py:115-220) over tool-output turns."""
+    from pdfextraction_spark.functions.text import fenced_json, repair_json
+
+    turns = _fixture_turns(spark, sf_dir)
+    fenced = fenced_json(F.col("text"))
+    parsed = F.from_json(
+        repair_json(fenced), "status string, items array<string>, count int"
+    )
+    return (
+        turns.filter(fenced != "")
+        .select(
+            "conv_id",
+            "turn_idx",
+            parsed["status"].alias("status"),
+            parsed["count"].alias("count"),
+            F.size(parsed["items"]).alias("n_items"),
+        )
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfextraction_spark.functions.dedup import minhash_lsh_pairs
 
@@ -339,6 +390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metrics": q_extract_metrics,
         "merge_conv_fields": q_merge_conv_fields,
         "extract_tables": q_extract_tables,
+        "table_anomalies": q_table_anomalies,
+        "conv_schema": q_conv_schema,
+        "fence_json": q_fence_json,
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh,

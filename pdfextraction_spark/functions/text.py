@@ -82,6 +82,33 @@ def field_keyword_hit(col: Column) -> Column:
     return F.lower(col).rlike(FIELD_KEYWORD_RE)
 
 
+FENCE_JSON_RE = r"```(?:json)?\s*(\{[\s\S]*?\})\s*```"
+
+
+def fenced_json(col: Column) -> Column:
+    """X16 markdown-fence JSON extraction
+    (openai_service.py:115-157): first ```json {...}``` block, else
+    the first bare {...} object, else empty string."""
+    fenced = F.regexp_extract(col, FENCE_JSON_RE, 1)
+    bare = F.regexp_extract(col, r"(\{[\s\S]*\})", 1)
+    return F.when(fenced != "", fenced).otherwise(bare)
+
+
+def repair_json(col: Column) -> Column:
+    """X17 JSON repair (openai_service.py:199-220): strip trailing
+    commas before }/], then append closers for unbalanced {/[.
+    Bracket counting via length differences — pure column math."""
+    cleaned = F.trim(F.regexp_replace(col, r",\s*([}\]])", r"$1"))
+    n_open_b = F.length(cleaned) - F.length(F.regexp_replace(cleaned, r"\{", ""))
+    n_close_b = F.length(cleaned) - F.length(F.regexp_replace(cleaned, r"\}", ""))
+    n_open_s = F.length(cleaned) - F.length(F.regexp_replace(cleaned, r"\[", ""))
+    n_close_s = F.length(cleaned) - F.length(F.regexp_replace(cleaned, r"\]", ""))
+    braces = F.greatest(n_open_b - n_close_b, F.lit(0))
+    brackets = F.greatest(n_open_s - n_close_s, F.lit(0))
+    return F.concat(cleaned, F.repeat(F.lit("}"), braces),
+                    F.repeat(F.lit("]"), brackets))
+
+
 def fingerprint64(col: Column) -> Column:
     """Deterministic 64-bit document fingerprint (rolling-hash
     analogue): xxhash64 of the whitespace-normalized lowercased text.

@@ -20,7 +20,7 @@ import uuid
 from datetime import datetime
 from typing import List, Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from . import __version__
 from .config import DEFAULT_NUM_PARTITIONS, MEGA_CONV_TURNS_PER_SALT
@@ -75,12 +75,23 @@ def run_extraction_job(
     ]
 
     total_rows = 0
+    observed = {"turns": 0, "parse_failures": 0, "blocks_dropped": 0}
     for ci, part_group in enumerate(chunks):
         chunk_df = turns.filter(F.col("partition_id").isin(part_group))
         prepared = prepare_for_extraction(
             chunk_df, max(len(part_group), 1), salt_turns
         )
         extracted = extract_turns(prepared)
+        # S8 usage-log analogue (cost_tracker.py:51-69): streaming-free
+        # metrics via observe, surfaced in the job summary alongside
+        # the per-partition manifest rows
+        obs = Observation(f"extraction_chunk_{ci}")
+        extracted = extracted.observe(
+            obs,
+            F.count(F.lit(1)).alias("turns"),
+            F.sum(F.col("parse_failed").cast("long")).alias("parse_failures"),
+            F.sum("blocks_dropped").alias("blocks_dropped"),
+        )
         # partition_id is a pure function of conv_id -> recompute after
         # the Arrow stage instead of shipping it through the kernel
         out = logical_partition_id(extracted, num_partitions)
@@ -122,6 +133,9 @@ def run_extraction_job(
         ]
         append_manifest(spark, manifest_path, rows)
         total_rows += sum(r["row_count"] for r in rows)
+        for k, v in (obs.get or {}).items():
+            if v is not None:
+                observed[k] = observed.get(k, 0) + int(v)
         if fail_after_chunks is not None and ci + 1 >= fail_after_chunks:
             raise RuntimeError(f"injected failure after {ci + 1} chunks")
 
@@ -131,4 +145,5 @@ def run_extraction_job(
         "partitions_done_before": len(done),
         "partitions_processed": len(todo),
         "rows_written": total_rows,
+        "observed_metrics": observed,
     }

@@ -1,0 +1,68 @@
+"""Column-function unit tests (X16/X17 JSON fence + repair, token
+counting, fingerprints)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdfextraction_spark.functions import text as X
+
+
+@pytest.mark.slow
+class TestFenceAndRepair:
+    def _one(self, spark, col, value):
+        return spark.createDataFrame([(value,)], "t string").select(
+            col(F.col("t")).alias("v")
+        ).collect()[0].v
+
+    def test_fenced_json_extraction(self, spark):
+        t = 'prefix\n```json\n{"a": 1}\n```\nsuffix'
+        assert self._one(spark, X.fenced_json, t) == '{"a": 1}'
+
+    def test_fence_without_lang_tag(self, spark):
+        t = "```\n{\"a\": 2}\n```"
+        assert self._one(spark, X.fenced_json, t) == '{"a": 2}'
+
+    def test_bare_object_fallback(self, spark):
+        # greedy-to-last-brace bare match (openai_service.py:129)
+        t = 'text {"a": 3} more'
+        assert self._one(spark, X.fenced_json, t) == '{"a": 3}'
+
+    def test_repair_trailing_commas_and_truncation(self, spark):
+        """openai_service.py:199-220: trailing commas stripped, open
+        braces then brackets appended."""
+        assert self._one(spark, X.repair_json, '{"a": [1, 2,], "b": 3,}') \
+            == '{"a": [1, 2], "b": 3}'
+        assert self._one(spark, X.repair_json, '{"a": [1, 2') == '{"a": [1, 2}]'
+        assert self._one(spark, X.repair_json, '{"a": {"b": 1') \
+            == '{"a": {"b": 1}}'
+
+    def test_repaired_parses(self, spark):
+        # note: a truncated string ENDING in a comma stays broken — the
+        # reference strips commas before appending closers, same quirk
+        out = spark.createDataFrame(
+            [('{"status": "ok", "count": 5',)], "t string"
+        ).select(
+            F.from_json(X.repair_json(F.col("t")), "status string, count int")
+            .alias("p")
+        ).collect()[0].p
+        assert out["status"] == "ok" and out["count"] == 5
+
+
+@pytest.mark.slow
+class TestTokenFunctions:
+    def test_counts_and_fingerprint(self, spark):
+        df = spark.createDataFrame(
+            [("hello world, it is 42!",), ("",), ("  hello   world, it is 42! ",)],
+            "t string",
+        ).select(
+            X.ws_token_count(F.col("t")).alias("ws"),
+            X.bpe_token_count(F.col("t")).alias("bpe"),
+            X.fingerprint64(F.col("t")).alias("fp"),
+        )
+        rows = df.collect()
+        assert rows[0].ws == 5
+        # hello|world|,|it|is|42|!
+        assert rows[0].bpe == 7
+        assert rows[1].ws == 0
+        # fingerprint is whitespace-normalized: rows 0 and 2 collide
+        assert rows[0].fp == rows[2].fp
