@@ -295,6 +295,14 @@ def q_extract_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_tables(_fixture_turns(spark, sf_dir))
 
 
+def q_spacing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 word-spacing statistics (spatial_preprocessor.py:422-463)
+    per pdf_layout turn."""
+    from pdfextraction_spark.operators.stats import spacing_stats_turns
+
+    return spacing_stats_turns(_fixture_turns(spark, sf_dir))
+
+
 def q_table_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 row-structure anomaly check (result_merger.py:233-242):
     tables whose rows carry differing non-null cell counts."""
@@ -391,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_conv_fields": q_merge_conv_fields,
         "extract_tables": q_extract_tables,
         "table_anomalies": q_table_anomalies,
+        "spacing_stats": q_spacing_stats,
         "conv_schema": q_conv_schema,
         "fence_json": q_fence_json,
         "minhash_lsh_pairs": q_minhash_lsh,

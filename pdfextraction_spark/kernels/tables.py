@@ -177,6 +177,63 @@ def tables_batch(
     )
 
 
+def spacing_stats_batch(
+    doc_words: Sequence[Optional[Sequence[Tuple[str, float, float, float, float]]]]
+):
+    """Vectorized A1 word-spacing stats (spatial_preprocessor.py:422-463)
+    for a batch: per doc (avg, median, population std) over same-line
+    (|Δy0| <= 5) non-negative reading-order gaps. Median is the
+    reference's sorted[n//2] upper median."""
+    n_docs = len(doc_words)
+    out = np.zeros((n_docs, 3), dtype=np.float64)
+    flat_t: List[str] = []
+    flat_coord: List[Tuple[float, float, float, float]] = []
+    doc_sizes = np.zeros(n_docs, dtype=np.int64)
+    for di, words in enumerate(doc_words):
+        if not words:
+            continue
+        doc_sizes[di] = len(words)
+        for w in words:
+            flat_t.append(w[0])
+            flat_coord.append((w[1], w[2], w[3], w[4]))
+    if not flat_t:
+        return out
+    t_arr = np.asarray(flat_t, dtype=object)
+    coord = np.asarray(flat_coord, dtype=np.float64)
+    d = np.repeat(np.arange(n_docs, dtype=np.int64), doc_sizes)
+    keep = (pd.Series(t_arr, dtype="object").str.strip().str.len() > 0).to_numpy()
+    coord, d = coord[keep], d[keep]
+    if len(d) == 0:
+        return out
+    x0, y0, x1 = coord[:, 0], coord[:, 1], coord[:, 2]
+    order = np.lexsort((x0, y0, d))
+    x0, y0, x1, d = x0[order], y0[order], x1[order], d[order]
+    same_doc = d[1:] == d[:-1]
+    same_line = same_doc & (np.abs(y0[1:] - y0[:-1]) <= 5.0)
+    gap = x0[1:] - x1[:-1]
+    ok = same_line & (gap >= 0)
+    gd = d[1:][ok]
+    gv = gap[ok]
+    if len(gv) == 0:
+        return out
+    # per-doc aggregates via sorted (doc, gap) segments
+    o2 = np.lexsort((gv, gd))
+    gd, gv = gd[o2], gv[o2]
+    starts = _segment_starts(gd)
+    ends = np.r_[starts[1:], len(gd)]
+    lens = ends - starts
+    sums = np.add.reduceat(gv, starts)
+    avg = sums / lens
+    med = gv[starts + lens // 2]  # values sorted within doc segment
+    sq = np.add.reduceat(gv * gv, starts)
+    var = np.maximum(sq / lens - avg * avg, 0.0)
+    docs = gd[starts]
+    out[docs, 0] = avg
+    out[docs, 1] = med
+    out[docs, 2] = np.sqrt(var)
+    return out
+
+
 def tables_flat(n_docs, doc_sizes, t_arr, coord, none_mask=None):
     results: List[Optional[list]] = [
         None if (none_mask is not None and none_mask[i]) else []

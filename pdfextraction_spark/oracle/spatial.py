@@ -278,3 +278,28 @@ def reflow(words: Sequence[Word]) -> List[Tuple[str, str]]:
 
 def reflow_text(words: Sequence[Word]) -> str:
     return "\n".join(t for _, t in reflow(words))
+
+
+def spacing_stats(words: Sequence[Word]) -> Tuple[float, float, float]:
+    """A1 word-spacing stats (calculate_word_spacing_stats,
+    spatial_preprocessor.py:422-463): over consecutive reading-order
+    pairs on the same line (|Δy0| <= 5), gaps next.x0 - cur.x1 with
+    negative (overlap) gaps ignored; returns (avg, median, population
+    std) with median = sorted[n//2] (upper median, not interpolated).
+    Whitespace-only words are dropped first (scan-time filter)."""
+    kept = [w for w in words if keep_word(w[0])]
+    if len(kept) < 2:
+        return (0.0, 0.0, 0.0)
+    ordered = reading_order(kept)
+    gaps = []
+    for a, b in zip(ordered, ordered[1:]):
+        if abs(a[2] - b[2]) <= 5:
+            g = b[1] - a[3]
+            if g >= 0:
+                gaps.append(g)
+    if not gaps:
+        return (0.0, 0.0, 0.0)
+    avg = sum(gaps) / len(gaps)
+    med = sorted(gaps)[len(gaps) // 2]
+    var = sum((g - avg) ** 2 for g in gaps) / len(gaps)
+    return (avg, med, var ** 0.5)

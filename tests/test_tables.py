@@ -148,3 +148,31 @@ def test_spark_table_operator(spark, xs_parquet):
         assert (r["conv_id"], int(r["turn_idx"]), int(r["table_idx"]),
                 int(r["row_idx"])) == (conv, ti, tbl_i, ri)
         assert list(r["cells"]) == cells
+
+
+class TestSpacingStats:
+    def test_kernel_vs_oracle(self):
+        import numpy as np
+
+        from pdfextraction_spark.kernels.tables import spacing_stats_batch
+        from pdfextraction_spark.oracle.spatial import spacing_stats
+
+        df = gen_transcripts("xs")
+        words = [decode_pdf_envelope(t) for t in df["text"]
+                 if detect_kind(t) == KIND_PDF]
+        docs = [w for w in words if w is not None]
+        got = spacing_stats_batch(docs)
+        for i, w in enumerate(docs):
+            exp = spacing_stats(w)
+            assert np.allclose(got[i], exp, rtol=1e-9, atol=1e-12), (i, exp, got[i])
+
+    def test_pinned(self):
+        from pdfextraction_spark.oracle.spatial import spacing_stats
+
+        words = [W("a", 0, 72, 10), W("b", 20, 72, 30), W("c", 50, 72, 60),
+                 W("d", 55, 72, 65),  # overlap with c: gap -5 ignored
+                 W("e", 0, 100, 10)]  # new line: no cross-line gap
+        avg, med, std = spacing_stats(words)
+        # gaps: 10 (a->b), 20 (b->c); (c->d) negative, dropped
+        assert (avg, med) == (15.0, 20.0)  # upper median
+        assert abs(std - 5.0) < 1e-12
