@@ -77,7 +77,11 @@ def _decode_envelopes_flat(texts: List[str]):
     sizes = np.zeros(n, dtype=np.int64)
     failed = np.zeros(n, dtype=bool)
     all_t: List[str] = []
-    all_c: List[Tuple[float, float, float, float]] = []
+    # number tokens stay strings here; ONE C-level np parse at the end
+    cs_x0: List[str] = []
+    cs_y0: List[str] = []
+    cs_x1: List[str] = []
+    cs_y1: List[str] = []
     for i, s in enumerate(texts):
         matches = _WORD_FAST_RE.findall(s)
         if len(matches) != len(_WORD_COUNT_RE.findall(s)):
@@ -88,20 +92,33 @@ def _decode_envelopes_flat(texts: List[str]):
             ts, cs = dec
             sizes[i] = len(ts)
             all_t.extend(ts)
-            all_c.extend(cs)
+            for a, b, c, e in cs:
+                cs_x0.append(repr(a))
+                cs_y0.append(repr(b))
+                cs_x1.append(repr(c))
+                cs_y1.append(repr(e))
             continue
         sizes[i] = len(matches)
-        for t, a, b, cxr, dyr in matches:
-            if "\\" in t:
-                t = json.loads(f'"{t}"')
-            all_t.append(t)
-            all_c.append((float(a), float(b), float(cxr), float(dyr)))
+        if matches:
+            ts, xs, ys, x1s, y1s = zip(*matches)
+            all_t.extend(ts)
+            cs_x0.extend(xs)
+            cs_y0.extend(ys)
+            cs_x1.extend(x1s)
+            cs_y1.extend(y1s)
     t_arr = np.asarray(all_t, dtype=object)
-    coord = (
-        np.asarray(all_c, dtype=np.float64)
-        if all_c
-        else np.zeros((0, 4), dtype=np.float64)
-    )
+    if len(all_t):
+        # JSON string escapes are rare: fix only tokens containing '\'
+        esc = pd.Series(t_arr, dtype="object").str.contains("\\", regex=False)
+        for j in np.flatnonzero(esc.to_numpy()):
+            t_arr[j] = json.loads(f'"{t_arr[j]}"')
+        coord = np.empty((len(all_t), 4), dtype=np.float64)
+        coord[:, 0] = np.asarray(cs_x0, dtype=np.float64)
+        coord[:, 1] = np.asarray(cs_y0, dtype=np.float64)
+        coord[:, 2] = np.asarray(cs_x1, dtype=np.float64)
+        coord[:, 3] = np.asarray(cs_y1, dtype=np.float64)
+    else:
+        coord = np.zeros((0, 4), dtype=np.float64)
     return sizes, t_arr, coord, failed
 
 
