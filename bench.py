@@ -195,6 +195,10 @@ def main() -> None:
     spark = build_session("bench-queries", master=f"local[{CPUS}]",
                           shuffle_partitions=CPUS)
     qs = entrymod.queries()
+    # untimed warmup: JVM codegen + parquet reader init would otherwise
+    # be charged to whichever query runs first
+    qs["group_stats"](spark, SF_DIR).count()
+    qs["sessionize_events"](spark, SF_DIR).count()
     times = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -107,8 +107,8 @@ def _title_flags(texts: pd.Series) -> np.ndarray:
     (spatial_preprocessor.py:330)."""
     return (
         texts.str.len().gt(0)
-        & texts.str[0].str.isupper().fillna(False)
-        & ~texts.str.isupper().fillna(False)
+        & texts.str[0].str.isupper().eq(True)
+        & ~texts.str.isupper().eq(True)
     ).to_numpy()
 
 

@@ -116,7 +116,7 @@ def test_hypothesis_layout_if_available():
     ).map(lambda w: (w[0], w[1], w[2], w[1] + w[3], w[2] + w[4]))
     doc = st.lists(word, max_size=40)
 
-    @settings(max_examples=150, deadline=None)
+    @settings(max_examples=150, deadline=None, derandomize=True)
     @given(st.lists(doc, max_size=6))
     def run(docs):
         got = reflow_batch(docs)
