@@ -120,6 +120,12 @@ SCALE_PAIR = tuple(
 def run_scaling(parquet: str, pair=SCALE_PAIR) -> dict:
     lo, hi = pair
     res = {}
+    env = dict(os.environ)
+    # scaling measures the kernel-bound unique-text workload: with
+    # content dedup on, the pooled bench fixture collapses ~250x and
+    # the job becomes IO/scheduling-bound, which measures the box, not
+    # the engine. Dedup-on throughput is reported separately.
+    env["PDFX_CONTENT_DEDUP"] = "0"
     for cores in (lo, hi):
         out_path = f"/tmp/pdfx_bench_{cores}.json"
         subprocess.run(
@@ -129,6 +135,7 @@ def run_scaling(parquet: str, pair=SCALE_PAIR) -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)),
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
+            env=env,
         )
         with open(out_path) as f:
             res[cores] = json.load(f)
@@ -164,10 +171,17 @@ def write_bench_md(result: dict) -> None:
         )
     lines += [
         "",
-        "The pairing keeps both points below this single box's shared",
-        "memory-bandwidth ceiling (~200k turns/s aggregate, saturating",
-        "near 8-10 cores); on a real cluster 4N executors bring 4x",
-        "bandwidth with them. See BENCH.md history / bench.py docstring.",
+        "Scaling runs measure the dedup-OFF unique-text workload (every",
+        "turn's kernels actually execute). The pairing keeps both points",
+        "below this single box's shared memory-bandwidth ceiling (~200k",
+        "unique turns/s aggregate, saturating near 8-10 cores); on a real",
+        "cluster 4N executors bring 4x bandwidth with them.",
+        "",
+        "Headline throughput (engine default: content-level dedup ON —",
+        "repeated payloads extracted once per batch): "
+        f"**{result.get('value'):,.0f} turns/s** at local[{CPUS}] on the",
+        "pooled bench fixture (~4k unique payloads). Output is",
+        "byte-identical with dedup off (enforced by tests).",
         "",
         "## Headline query wall times",
         "",
@@ -225,6 +239,13 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "bench_turns": n_turns,
+        # headline runs with content-level dedup ON (engine default —
+        # extraction is a pure function of text, repeats collapse);
+        # scaling numbers below are the dedup-OFF unique-text workload
+        "content_dedup": True,
+        "unique_text_tps": (
+            round(scaling[scaling["pair"][1]]["tps"], 1) if scaling else None
+        ),
         "scaling": (
             {
                 "pair": scaling["pair"],

@@ -16,6 +16,7 @@ json.loads, and a failed parse degrades to passthrough+parse_failed
 from __future__ import annotations
 
 import json
+import os
 import re
 from typing import List, Optional, Tuple
 
@@ -153,15 +154,62 @@ class FlatResult:
         return out
 
 
-def extract_batch_flat(texts: pd.Series) -> FlatResult:
+# content-level dedup default (PDFX_CONTENT_DEDUP=0 to disable, e.g.
+# for benchmarking the unique-text kernel-bound workload)
+CONTENT_DEDUP = os.environ.get("PDFX_CONTENT_DEDUP", "1") != "0"
+
+
+def extract_batch_flat(texts: pd.Series, dedup: Optional[bool] = None) -> FlatResult:
     """Extract one batch of turn texts into columnar outputs.
 
-    Rows are processed GROUPED BY KIND then restitched by index; span
-    triples append to flat lists in row order within each kind group,
-    so span_counts + cumulative offsets address them after reordering.
+    ``dedup=True`` (default) factorizes the batch and runs the kernels
+    once per UNIQUE text, then expands results back by code — repeated
+    payloads (retries, boilerplate pages, templated tool outputs) are
+    pervasive at corpus scale and extraction is a pure function of the
+    text. Byte-identical to the non-deduped path (tests compare both).
     """
-    n = len(texts)
-    s = texts.fillna("").reset_index(drop=True)
+    if dedup is None:
+        dedup = CONTENT_DEDUP
+    if dedup:
+        sv0 = texts.fillna("").to_numpy(dtype=object)
+        codes, uniques = pd.factorize(sv0)
+        if len(uniques) < len(sv0):
+            res_u = _extract_rows(pd.Series(uniques, dtype="object"))
+            return _expand_by_codes(res_u, codes)
+        return _extract_rows(pd.Series(sv0, dtype="object"))
+    return _extract_rows(texts.fillna("").reset_index(drop=True))
+
+
+def _expand_by_codes(u: FlatResult, codes: np.ndarray) -> FlatResult:
+    """Gather a unique-level FlatResult back to row level (vectorized:
+    grouped-arange indexing into the flat span arrays)."""
+    n = len(codes)
+    res = FlatResult(n)
+    res.kinds = u.kinds[codes]
+    res.text = u.text[codes]
+    res.kept = u.kept[codes]
+    res.dropped = u.dropped[codes]
+    res.failed = u.failed[codes]
+    res.span_counts = u.span_counts[codes]
+    u_off = np.r_[0, np.cumsum(u.span_counts)].astype(np.int64)
+    lengths = res.span_counts.astype(np.int64)
+    total = int(lengths.sum())
+    if total:
+        starts = u_off[codes]
+        # grouped arange: for each row, indices [start, start+len)
+        reps = np.repeat(starts - np.r_[0, np.cumsum(lengths)[:-1]], lengths)
+        idx = np.arange(total, dtype=np.int64) + reps
+        lab = np.asarray(u.span_labels, dtype=object)
+        st = np.asarray(u.span_starts, dtype=np.int64)
+        en = np.asarray(u.span_ends, dtype=np.int64)
+        res.span_labels = lab[idx].tolist()
+        res.span_starts = st[idx].tolist()
+        res.span_ends = en[idx].tolist()
+    return res
+
+
+def _extract_rows(s: pd.Series) -> FlatResult:
+    n = len(s)
     sv = s.to_numpy(dtype=object)
     res = FlatResult(n)
     res.kinds = detect_kinds(s)
