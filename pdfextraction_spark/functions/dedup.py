@@ -96,15 +96,16 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     xxhash64(shingle, seed_i). Seeded-hash families replace explicit
     permutations (standard MinHash trick)."""
     sh = with_shingles(df, text_col, id_col, n)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(num_hashes)
-        ]
+    # explode once, then num_hashes columnar min-aggregations (partial
+    # agg map-side) — far cheaper than evaluating num_hashes array
+    # transforms per row
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    agg = ex.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
+          for i in range(num_hashes)]
     )
-    return sh.select("doc_id", sig.alias("signature"))
+    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    return agg.select("doc_id", sig.alias("signature"))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
