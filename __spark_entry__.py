@@ -378,6 +378,38 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb, queries, k=10, bits=4)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfextraction_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+
+
+def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data gate: extraction -> language-ID +
+    quality scoring on the EXTRACTED text -> filtered corpus rows."""
+    from pdfextraction_spark.functions import text as X
+    from pdfextraction_spark.pipeline import extract_dataframe
+
+    ex = extract_dataframe(_fixture_turns(spark, sf_dir), num_partitions=8)
+    t = F.col("extracted_text")
+    return (
+        ex.filter(~F.col("parse_failed"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "payload_kind",
+            F.round(X.quality_score(t), 4).alias("quality"),
+            X.is_english(t).alias("is_en"),
+            F.length(t).alias("n_chars"),
+        )
+        .filter((F.col("quality") >= 0.3) & (F.col("n_chars") >= 20))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sessionize_events": q_sessionize,
@@ -405,6 +437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
+        "training_filter": q_training_filter,
     }
 
 

@@ -88,6 +88,98 @@ def lsh_bucket_id(vec_col, planes: Sequence[Sequence[float]]):
     return bucket
 
 
+def _centroid_scores(vec_col, centroids: Sequence[Sequence[float]]):
+    """Array of cosine scores against each (unit-normalized) centroid —
+    pure column expressions, whole-stage codegen."""
+    v = _as_double(vec_col)
+    scores = []
+    for c in centroids:
+        arr = np.asarray(c, dtype=np.float64)
+        arr = arr / (np.linalg.norm(arr) or 1.0)
+        lit = F.array(*[F.lit(float(x)) for x in arr])
+        scores.append(_dot(v, lit) / _norm(v))
+    return F.array(*scores)
+
+
+def ivf_assign(vec_col, centroids: Sequence[Sequence[float]]):
+    """IVF list id = argmax cosine over the centroid set."""
+    s = _centroid_scores(vec_col, centroids)
+    return F.array_position(s, F.array_max(s)).cast("int")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: Optional[List[List[float]]] = None,
+) -> DataFrame:
+    """IVF-style ANN: vectors are inverted-listed by nearest centroid;
+    each query probes its n_probe nearest lists and scores only those
+    candidates. Centroids default to the first n_centroids corpus
+    vectors (k-means init by seeding — a production build would refine
+    with a few Lloyd iterations driver-side; the partition/probe
+    plumbing is identical). Recall measured vs brute force in tests."""
+    if centroids is None:
+        # strided deterministic seed sample (spreads across the corpus;
+        # k-means++ / Lloyd refinement would run driver-side on this)
+        total = embeddings.count()
+        step = max(total // n_centroids, 1)
+        rows = (
+            embeddings.filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
+            .orderBy(id_col)
+            .limit(n_centroids)
+            .select(vec_col)
+            .collect()
+        )
+        centroids = [list(map(float, r[0])) for r in rows]
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        ivf_assign(F.col(vec_col), centroids).alias("list_id"),
+    )
+    qscore = _centroid_scores(F.col(vec_col), centroids)
+    probes = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    qscore,
+                    F.sequence(F.lit(1), F.lit(len(centroids))),
+                    lambda s, i: F.struct((-s).alias("neg"), i.alias("i")),
+                )
+            ),
+            lambda st: st["i"],
+        ),
+        1,
+        n_probe,
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        F.explode(probes).alias("list_id"),
+    )
+    scored = (
+        e.join(F.broadcast(q), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_sim(F.col("qv"), F.col("v")), 6).alias("sim"),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("sim").alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -171,3 +171,25 @@ class TestConversationMerge:
         assert out.lines == ["a1", "b1", "b2", "c1line"]
         assert out.source_turns == [0, 1, 2]
         assert out.spans_multiple_turns
+
+
+@pytest.mark.slow
+class TestIVF:
+    def test_ivf_recall_vs_brute_force(self, emb):
+        from pyspark.sql import functions as F
+
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        bf = S.brute_force_topk(emb, queries, k=10).toPandas()
+        ivf = S.ivf_topk(emb, queries, k=10, n_centroids=16,
+                         n_probe=4).toPandas()
+        recalls = []
+        for q in range(10):
+            t = set(bf[bf.query_id == q].vec_id)
+            g = set(ivf[ivf.query_id == q].vec_id)
+            recalls.append(len(t & g) / len(t))
+        # clustered corpus: the query's own cluster list is probed
+        assert np.mean(recalls) >= 0.6
+        merged = bf.merge(ivf, on=["query_id", "vec_id"], suffixes=("_t", "_g"))
+        assert (merged["sim_t"] == merged["sim_g"]).all()
