@@ -43,3 +43,59 @@ def test_stream_matches_batch_and_is_exactly_once(spark, xs_parquet, tmp_path):
     q2.awaitTermination(120)
     again = spark.read.parquet(out).count()
     assert again == len(batch)
+
+
+@pytest.mark.slow
+def test_stateful_streaming_merge_matches_batch(spark, xs_parquet, tmp_path):
+    """applyInPandasWithState conversation merge: final state after the
+    stream drains must equal the batch merge operator."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pdfextraction_spark.operators.extract import extract_turns
+    from pdfextraction_spark.operators.merge import merge_conversation_fields
+    from pdfextraction_spark.schema import TRANSCRIPTS_SCHEMA
+    from pdfextraction_spark.streaming.stateful import (
+        streaming_conversation_merge,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(xs_parquet, os.path.join(src, "part-0.parquet"))
+    out = str(tmp_path / "merged")
+    ckpt = str(tmp_path / "ckpt2")
+
+    stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(src)
+    merged = streaming_conversation_merge(extract_turns(stream))
+    q = (
+        merged.writeStream.format("memory")
+        .queryName("merged_tbl")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = (
+        merge_conversation_fields(extract_turns(spark.read.parquet(xs_parquet)))
+        .orderBy("conv_id", "field")
+        .toPandas()
+    )
+    from pyspark.sql import Window
+
+    streamed = (
+        spark.table("merged_tbl")
+        # update sink holds one version per micro-batch; keep the last
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("conv_id", "field")
+            .orderBy(F.desc("n_occurrences"))))
+        .filter("rn = 1")
+        .drop("rn")
+        .orderBy("conv_id", "field")
+        .toPandas()
+    )
+    assert len(streamed) == len(batch)
+    for col in ("conv_id", "field", "value", "source_turn",
+                "conflict_detected", "n_occurrences"):
+        assert list(streamed[col]) == list(batch[col]), col
