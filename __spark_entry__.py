@@ -198,6 +198,32 @@ def q_format_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (relational form of the reference's nearest-neighbor
+    pairing, J2/J3): each 'error' event matched to the latest same-user
+    'click' at or before it."""
+    from pdfextraction_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    return asof_join(errors, clicks, key="user_id", left_id="event_id")
+
+
+def q_trigram_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language-ID score per document."""
+    from pdfextraction_spark.functions.text import en_trigram_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(en_trigram_score(F.col("text")), 6).alias("en_score"),
+        (en_trigram_score(F.col("text")) >= 0.01).alias("looks_en"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via hash-groupBy on normalized text."""
     from pdfextraction_spark.functions.dedup import exact_dedup
@@ -421,6 +447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "json_extract": q_json_extract,
         "format_pairs": q_format_pairs,
+        "asof_latest_click": q_asof_latest_click,
+        "trigram_lang": q_trigram_lang,
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
@@ -542,6 +570,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nationkey AS nationkey,
                    n_name || ':' || chr(9) || r_name AS formatted
             FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "asof_latest_click": """
+            SELECT e.event_id, e.user_id, e.ts, c.ts AS asof_ts
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'error') e
+            ASOF JOIN (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click') c
+              ON e.user_id = c.user_id AND e.ts >= c.ts
+        """,
+        "trigram_lang": """
+            WITH scored AS (
+              SELECT doc_id,
+                ((length(lower(text)) - length(replace(lower(text), 'the', ''))) / 3
+               + (length(lower(text)) - length(replace(lower(text), 'and', ''))) / 3
+               + (length(lower(text)) - length(replace(lower(text), 'ing', ''))) / 3
+               + (length(lower(text)) - length(replace(lower(text), 'ion', ''))) / 3
+               + (length(lower(text)) - length(replace(lower(text), 'ent', ''))) / 3
+               + (length(lower(text)) - length(replace(lower(text), 'her', ''))) / 3
+               + (length(lower(text)) - length(replace(lower(text), 'for', ''))) / 3
+               + (length(lower(text)) - length(replace(lower(text), 'tha', ''))) / 3
+               + (length(lower(text)) - length(replace(lower(text), 'ter', ''))) / 3
+               + (length(lower(text)) - length(replace(lower(text), 'est', ''))) / 3
+               + (length(lower(text)) - length(replace(lower(text), 'ers', ''))) / 3
+               + (length(lower(text)) - length(replace(lower(text), 'ati', ''))) / 3
+                ) * 1.0 / greatest(length(text) - 2, 1) AS raw
+              FROM documents
+            )
+            SELECT doc_id, round(raw, 6) AS en_score,
+                   raw >= 0.01 AS looks_en
+            FROM scored
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count

@@ -69,6 +69,25 @@ def quality_score(col: Column) -> Column:
     return (len_score + punct_score + stop_score) / 3.0
 
 
+# common English character trigrams (public frequency tables)
+EN_TRIGRAMS = ("the", "and", "ing", "ion", "ent", "her", "for", "tha",
+               "ter", "est", "ers", "ati")
+
+
+def en_trigram_score(col: Column) -> Column:
+    """Character-n-gram language-ID heuristic: density of common
+    English trigrams per character. Occurrence counts via length
+    deltas (replace-based), so the same expression runs on any SQL
+    engine."""
+    low = F.lower(col)
+    total = F.lit(0)
+    for tg in EN_TRIGRAMS:
+        total = total + (
+            F.length(low) - F.length(F.replace(low, F.lit(tg), F.lit("")))
+        ) / 3
+    return total / F.greatest(F.length(col) - 2, F.lit(1))
+
+
 def is_english(col: Column, threshold: float = 0.05) -> Column:
     """N-gram-free language-ID heuristic: stopword hit ratio + ASCII
     letter dominance."""

@@ -193,3 +193,24 @@ class TestIVF:
         assert np.mean(recalls) >= 0.6
         merged = bf.merge(ivf, on=["query_id", "vec_id"], suffixes=("_t", "_g"))
         assert (merged["sim_t"] == merged["sim_g"]).all()
+
+
+@pytest.mark.slow
+def test_asof_join_formulations_agree(spark):
+    """Range-join+agg and union+window as-of forms must be identical."""
+    from pdfextraction_spark.operators.asof import asof_join, asof_join_union_window
+
+    rng = np.random.default_rng(5)
+    rows_l = [(i, int(rng.integers(0, 20)), int(rng.integers(0, 10000)))
+              for i in range(500)]
+    rows_r = [(int(rng.integers(0, 20)), int(rng.integers(0, 10000)))
+              for _ in range(800)]
+    left = spark.createDataFrame(rows_l, "event_id long, user_id long, ts long")
+    right = spark.createDataFrame(rows_r, "user_id long, ts long")
+    a = asof_join(left, right, key="user_id", left_id="event_id") \
+        .orderBy("event_id").toPandas()
+    b = asof_join_union_window(left, right, key="user_id", left_id="event_id") \
+        .orderBy("event_id").toPandas()
+    assert len(a) == len(b)
+    assert (a["event_id"].to_numpy() == b["event_id"].to_numpy()).all()
+    assert (a["asof_ts"].to_numpy() == b["asof_ts"].to_numpy()).all()
