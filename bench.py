@@ -45,6 +45,7 @@ BENCH_TURNS = int(os.environ.get("PDFX_BENCH_TURNS", "1000000"))
 CACHE = "/tmp/pdfx_fixtures"
 
 HEADLINE = [
+    "asof_latest_click",
     "sessionize_events",
     "group_stats",
     "ordered_accumulate",

@@ -1,6 +1,8 @@
 """Bucketed co-located join: both sides bucketed by conv_id with the
 same bucket count -> the join plans with ZERO Exchange."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -10,7 +12,15 @@ def test_bucketed_join_no_shuffle(spark, xs_parquet, tmp_path):
     from pdfextraction_spark.operators.extract import extract_turns
     from pdfextraction_spark.sources.bucketed import bucketed_join, write_bucketed
 
-    # warehouse.dir is static; tables land in ./spark-warehouse (gitignored)
+    import shutil
+
+    # warehouse.dir is static; tables land in ./spark-warehouse
+    # (gitignored). The in-memory catalog forgets tables across
+    # sessions while their directories persist -> clean both first.
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_turns", "t_extracted"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     turns = spark.read.parquet(xs_parquet)
