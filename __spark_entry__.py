@@ -198,6 +198,49 @@ def q_format_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass produces hourly
+    and daily rollups via GROUPING SETS (Catalyst plans a single
+    shuffle with partial aggregation)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn("hour", F.date_format("ts", "HH"))
+    )
+    return (
+        ev.groupingSets(
+            [[F.col("day"), F.col("hour")], [F.col("day")]],
+            F.col("day"),
+            F.col("hour"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join (J3's word->column assignment, relationally):
+    events bucketed into value bands via a broadcast interval table."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 50.0), ("high", 50.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
 def q_asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (relational form of the reference's nearest-neighbor
     pairing, J2/J3): each 'error' event matched to the latest same-user
@@ -449,6 +492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_pairs": q_format_pairs,
         "asof_latest_click": q_asof_latest_click,
         "trigram_lang": q_trigram_lang,
+        "hypertable_rollup": q_hypertable_rollup,
+        "range_band_join": q_range_band_join,
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
@@ -570,6 +615,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nationkey AS nationkey,
                    n_name || ':' || chr(9) || r_name AS formatted
             FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "hypertable_rollup": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   strftime(ts, '%H') AS hour,
+                   COUNT(*) AS n, round(SUM(value), 4) AS total_value
+            FROM events
+            GROUP BY GROUPING SETS ((day, hour), (day))
+        """,
+        "range_band_join": """
+            WITH bands(band, lo, hi) AS (
+              VALUES ('low', 0.0, 10.0), ('mid', 10.0, 50.0),
+                     ('high', 50.0, 1e9)
+            )
+            SELECT band, COUNT(*) AS n, round(AVG(value), 4) AS avg_value
+            FROM events JOIN bands ON value >= lo AND value < hi
+            GROUP BY band
         """,
         "asof_latest_click": """
             SELECT e.event_id, e.user_id, e.ts, c.ts AS asof_ts
