@@ -95,26 +95,31 @@ def run_extraction_job(
         # partition_id is a pure function of conv_id -> recompute after
         # the Arrow stage instead of shipping it through the kernel
         out = logical_partition_id(extracted, num_partitions)
+        commit_id = f"{run_id}-{ci:04d}"
         out = (
             out.withColumn("run_id", F.lit(run_id))
             .withColumn("source_snapshot_id", F.lit(snapshot))
             .withColumn("extractor_version", F.lit(__version__))
+            .withColumn("commit_id", F.lit(commit_id))
         )
-        out.persist()
-        try:
-            out.write.mode("append").parquet(output_path)
-            stats = (
-                out.groupBy("partition_id")
-                .agg(
-                    F.count("*").alias("row_count"),
-                    F.sum("blocks_kept").alias("blocks_kept"),
-                    F.sum("blocks_dropped").alias("blocks_dropped"),
-                    F.sum(F.col("parse_failed").cast("long")).alias("parse_failures"),
-                )
-                .collect()
+        # single write pass (no persist — at corpus scale the chunk
+        # output cannot be cached); manifest stats come from the
+        # COMMITTED files: partition-pruned by commit_id, column-pruned
+        # to the 4 metric columns, so the stats pass is cheap and the
+        # manifest provably describes what is durable on disk
+        out.write.mode("append").partitionBy("commit_id").parquet(output_path)
+        stats = (
+            spark.read.parquet(output_path)
+            .filter(F.col("commit_id") == commit_id)
+            .groupBy("partition_id")
+            .agg(
+                F.count("*").alias("row_count"),
+                F.sum("blocks_kept").alias("blocks_kept"),
+                F.sum("blocks_dropped").alias("blocks_dropped"),
+                F.sum(F.col("parse_failed").cast("long")).alias("parse_failures"),
             )
-        finally:
-            out.unpersist()
+            .collect()
+        )
         seen = {r.partition_id: r for r in stats}
         now = datetime.now()
         rows = [
