@@ -19,7 +19,9 @@ from pyspark.sql import DataFrame
 from ..kernels.extract import extract_batch_flat
 from ..schema import EXTRACTED_ARROW
 
-_PASSTHROUGH = ["conv_id", "turn_idx", "role"]
+# ts passes through (zero-copy) when present so event-time streaming
+# windows can run downstream of the extraction stage
+_PASSTHROUGH = ["conv_id", "turn_idx", "role", "ts"]
 
 
 def _spans_list_array(res) -> pa.ListArray:
@@ -39,35 +41,52 @@ def _spans_list_array(res) -> pa.ListArray:
     return pa.ListArray.from_arrays(offsets, struct)
 
 
-def _extract_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    for batch in it:
-        texts = batch.column("text").to_pandas()
-        res = extract_batch_flat(texts)
-        arrays = [
-            batch.column("conv_id"),
-            batch.column("turn_idx").cast(pa.int32()),
-            batch.column("role"),
-            pa.array(res.kinds, type=pa.string()),
-            pa.array(res.text, type=pa.string()),
-            _spans_list_array(res),
-            pa.array(res.kept, type=pa.int32()),
-            pa.array(res.dropped, type=pa.int32()),
-            pa.array(res.failed, type=pa.bool_()),
-        ]
-        yield pa.RecordBatch.from_arrays(arrays, schema=EXTRACTED_ARROW)
+def _make_extract_fn(has_ts: bool):
+    def _extract_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            texts = batch.column("text").to_pandas()
+            res = extract_batch_flat(texts)
+            arrays = [
+                batch.column("conv_id"),
+                batch.column("turn_idx").cast(pa.int32()),
+                batch.column("role"),
+            ]
+            names = ["conv_id", "turn_idx", "role"]
+            if has_ts:
+                arrays.append(batch.column("ts"))
+                names.append("ts")
+            arrays += [
+                pa.array(res.kinds, type=pa.string()),
+                pa.array(res.text, type=pa.string()),
+                _spans_list_array(res),
+                pa.array(res.kept, type=pa.int32()),
+                pa.array(res.dropped, type=pa.int32()),
+                pa.array(res.failed, type=pa.bool_()),
+            ]
+            names += ["payload_kind", "extracted_text", "spans",
+                      "blocks_kept", "blocks_dropped", "parse_failed"]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return _extract_batches
 
 
 def extract_turns(turns: DataFrame) -> DataFrame:
     """Apply the fused extraction stage to a transcripts DataFrame.
 
-    Input requires columns (conv_id, turn_idx, role, text); output has
-    EXTRACTED_SCHEMA. Narrow transformation — preserves partitioning.
+    Input requires (conv_id, turn_idx, role, text); ts is carried
+    through when present. Narrow transformation — preserves
+    partitioning.
     """
+    has_ts = "ts" in turns.columns
     cols = [c for c in _PASSTHROUGH if c in turns.columns] + ["text"]
+    ts_ddl = (
+        f"ts {turns.schema['ts'].dataType.simpleString()}, " if has_ts else ""
+    )
     ddl = (
-        "conv_id string, turn_idx int, role string, payload_kind string, "
-        "extracted_text string, "
+        "conv_id string, turn_idx int, role string, "
+        + ts_ddl
+        + "payload_kind string, extracted_text string, "
         "spans array<struct<label:string,start:int,end:int>>, "
         "blocks_kept int, blocks_dropped int, parse_failed boolean"
     )
-    return turns.select(*cols).mapInArrow(_extract_batches, ddl)
+    return turns.select(*cols).mapInArrow(_make_extract_fn(has_ts), ddl)

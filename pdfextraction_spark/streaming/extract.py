@@ -46,3 +46,27 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_turn_metrics(extracted_stream, window: str = "5 minutes",
+                          watermark: str = "10 minutes"):
+    """Watermarked event-time windowed extraction metrics: turns,
+    parse failures, and blocks dropped per (payload_kind, window).
+    Late turns beyond the watermark are dropped; state is bounded.
+    Requires the stream to retain the ``ts`` column."""
+    from pyspark.sql import functions as F
+
+    return (
+        extracted_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "payload_kind")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.col("parse_failed").cast("long")).alias("parse_failures"),
+            F.sum("blocks_dropped").alias("blocks_dropped"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "payload_kind", "n_turns", "parse_failures", "blocks_dropped",
+        )
+    )

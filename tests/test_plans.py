@@ -41,8 +41,10 @@ class TestPlans:
         turns = spark.read.parquet(xs_parquet)
         plan = _plan(extract_dataframe(turns, 8))
         assert plan.count("Exchange") == 1  # only the salted repartition
+        # tool is pruned at the scan; ts passes through for event-time
+        assert "tool" not in plan.split("ReadSchema:")[1]
         assert ("ReadSchema: struct<conv_id:string,turn_idx:int,"
-                "role:string,text:string>") in plan  # ts/tool pruned
+                "role:string,text:string,ts:timestamp") in plan
 
     def test_ann_broadcasts_queries(self, spark):
         import __spark_entry__ as em

@@ -99,3 +99,46 @@ def test_stateful_streaming_merge_matches_batch(spark, xs_parquet, tmp_path):
     for col in ("conv_id", "field", "value", "source_turn",
                 "conflict_detected", "n_occurrences"):
         assert list(streamed[col]) == list(batch[col]), col
+
+
+@pytest.mark.slow
+def test_watermarked_windowed_metrics(spark, xs_parquet, tmp_path):
+    """Event-time windowed extraction metrics with a watermark: stream
+    totals must reconcile with the batch per-kind counts."""
+    from pyspark.sql import functions as F
+
+    from pdfextraction_spark.operators.extract import extract_turns
+    from pdfextraction_spark.schema import TRANSCRIPTS_SCHEMA
+    from pdfextraction_spark.streaming.extract import windowed_turn_metrics
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(xs_parquet, os.path.join(src, "part-0.parquet"))
+    stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(src)
+    metrics = windowed_turn_metrics(extract_turns(stream), window="5 minutes")
+    # update mode: append would (correctly) hold back windows still
+    # inside the watermark when the stream drains
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("win_metrics")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.table("win_metrics").toPandas()
+        .sort_values("n_turns")
+        .drop_duplicates(["window_start", "payload_kind"], keep="last")
+    )
+    batch = (
+        extract_turns(spark.read.parquet(xs_parquet))
+        .groupBy("payload_kind").count().toPandas()
+        .set_index("payload_kind")["count"]
+    )
+    agg = got.groupby("payload_kind")["n_turns"].sum()
+    for kind, n in batch.items():
+        assert agg[kind] == n, kind
+    # windows are aligned 5-minute buckets
+    assert ((got["window_end"] - got["window_start"]).dt.total_seconds() == 300).all()
