@@ -101,12 +101,15 @@ def extract_worker(master: str, parquet: str, out_path: str) -> None:
     # long-running extraction job lives in
     out = extract_dataframe(turns, num_partitions=n_parts)
     n_out = out.count()
+    # median over several runs: the box has noisy neighbors, and the
+    # low-core config's longer windows see more steal bursts
+    n_runs = 5 if n_cores <= 4 else 3
     walls = []
-    for _ in range(3):
+    for _ in range(n_runs):
         t0 = time.time()
         extract_dataframe(turns, num_partitions=n_parts).count()
         walls.append(time.time() - t0)
-    wall = sorted(walls)[1]  # median of 3: the box has noisy neighbors
+    wall = sorted(walls)[n_runs // 2]
     spark.stop()
     with open(out_path, "w") as f:
         json.dump({"n_turns": n_turns, "n_out": n_out, "wall": wall,
