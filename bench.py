@@ -101,19 +101,19 @@ def extract_worker(master: str, parquet: str, out_path: str) -> None:
     # long-running extraction job lives in
     out = extract_dataframe(turns, num_partitions=n_parts)
     n_out = out.count()
-    # median over several runs: the box has noisy neighbors, and the
-    # low-core config's longer windows see more steal bursts
-    n_runs = 5 if n_cores <= 4 else 3
+    # several timed runs; the caller pools walls across interleaved
+    # subprocesses to cancel noisy-neighbor drift on this host
+    n_runs = int(os.environ.get("PDFX_WORKER_RUNS", "3"))
     walls = []
     for _ in range(n_runs):
         t0 = time.time()
         extract_dataframe(turns, num_partitions=n_parts).count()
         walls.append(time.time() - t0)
-    wall = sorted(walls)[n_runs // 2]
+    wall = sorted(walls)[len(walls) // 2]
     spark.stop()
     with open(out_path, "w") as f:
         json.dump({"n_turns": n_turns, "n_out": n_out, "wall": wall,
-                   "tps": n_turns / wall}, f)
+                   "walls": walls, "tps": n_turns / wall}, f)
 
 
 SCALE_PAIR = tuple(
@@ -130,7 +130,12 @@ def run_scaling(parquet: str, pair=SCALE_PAIR) -> dict:
     # the job becomes IO/scheduling-bound, which measures the box, not
     # the engine. Dedup-on throughput is reported separately.
     env["PDFX_CONTENT_DEDUP"] = "0"
-    for cores in (lo, hi):
+    env["PDFX_WORKER_RUNS"] = "2"
+    walls = {lo: [], hi: []}
+    n_turns = None
+    # interleave the two configs to cancel temporal noisy-neighbor
+    # drift; pool timed walls per config and take the median
+    for cores in (lo, hi, lo, hi):
         out_path = f"/tmp/pdfx_bench_{cores}.json"
         subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--extract-worker",
@@ -142,7 +147,14 @@ def run_scaling(parquet: str, pair=SCALE_PAIR) -> dict:
             env=env,
         )
         with open(out_path) as f:
-            res[cores] = json.load(f)
+            r = json.load(f)
+        walls[cores].extend(r["walls"])
+        n_turns = r["n_turns"]
+    for cores in (lo, hi):
+        ws = sorted(walls[cores])
+        wall = ws[len(ws) // 2]
+        res[cores] = {"wall": wall, "tps": n_turns / wall,
+                      "walls": walls[cores]}
     res["pair"] = [lo, hi]
     res["efficiency"] = res[hi]["tps"] / ((hi / lo) * res[lo]["tps"])
     return res
