@@ -41,7 +41,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_TURNS = int(os.environ.get("PDFX_BENCH_TURNS", "1000000"))
+BENCH_TURNS = int(os.environ.get("PDFX_BENCH_TURNS", "600000"))
 CACHE = "/tmp/pdfx_fixtures"
 
 HEADLINE = [
@@ -242,11 +242,11 @@ def main() -> None:
 
     extract_dataframe(turns, num_partitions=max(CPUS * 2, 32)).count()  # warm
     walls = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         extract_dataframe(turns, num_partitions=max(CPUS * 2, 32)).count()
         walls.append(time.time() - t0)
-    wall = sorted(walls)[1]  # median: noisy-neighbor host
+    wall = sorted(walls)[2]  # median of 5: noisy-neighbor host
     times["extract_turns"] = round(wall, 3)
     tps = n_turns / wall
     spark.stop()
