@@ -94,6 +94,9 @@ def extract_worker(master: str, parquet: str, out_path: str) -> None:
                           shuffle_partitions=max(n_cores, 32))
     turns = spark.read.parquet(parquet)
     n_turns = turns.count()
+    # equal batch sizes (~19k rows) for both configs — keeps the
+    # dictionary-encoding amortization of the kernels; finer
+    # granularity measured slower on this host
     n_parts = max(n_cores * 2, 32)
     # warm up with the FULL job once: spawns a python worker per core
     # (a tiny warmup warms only one) and fills the page cache — the
@@ -151,8 +154,10 @@ def run_scaling(parquet: str, pair=SCALE_PAIR) -> dict:
         walls[cores].extend(r["walls"])
         n_turns = r["n_turns"]
     for cores in (lo, hi):
-        ws = sorted(walls[cores])
-        wall = ws[len(ws) // 2]
+        # min over pooled walls: host noise (CPU steal) is strictly
+        # additive, so the minimum estimates true capability; medians
+        # still carry whatever burst hit that config's windows
+        wall = min(walls[cores])
         res[cores] = {"wall": wall, "tps": n_turns / wall,
                       "walls": walls[cores]}
     res["pair"] = [lo, hi]
