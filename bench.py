@@ -63,7 +63,9 @@ HEADLINE = [
 def ensure_bench_fixture(n_files: int = 32) -> str:
     """Cached multi-file parquet dataset (n_files splits) so the scan
     parallelizes — a single pandas-written file reads as ONE task."""
-    path = os.path.join(CACHE, f"transcripts_bench_{BENCH_TURNS}")
+    from fixtures.generate import FIXTURE_VERSION
+
+    path = os.path.join(CACHE, f"transcripts_bench_{BENCH_TURNS}_v{FIXTURE_VERSION}")
     if not os.path.exists(path):
         from fixtures.generate import gen_transcripts_fast
 

@@ -30,6 +30,9 @@ import pandas as pd
 from pdfextraction_spark.payload import encode_pdf_envelope
 
 SEED = 42
+# bump when generator output changes: cached fixture files are keyed
+# by this so stale /tmp caches can never serve old payloads
+FIXTURE_VERSION = 1
 _BASE_TS = datetime(2024, 1, 1)
 
 _WORDS = (

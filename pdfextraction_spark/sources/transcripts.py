@@ -27,8 +27,12 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
 def ensure_fixture_parquet(tier: str, total_turns: int | None = None,
                            cache_dir: str = "/tmp/pdfx_fixtures") -> str:
     """Deterministically synthesize (once) and cache the transcripts
-    fixture for a tier; returns the parquet path."""
-    suffix = f"{tier}_{total_turns or 'default'}"
+    fixture for a tier; returns the parquet path. Cache keys include
+    the generator version so stale caches never survive a generator
+    change."""
+    from fixtures.generate import FIXTURE_VERSION
+
+    suffix = f"{tier}_{total_turns or 'default'}_v{FIXTURE_VERSION}"
     path = os.path.join(cache_dir, f"transcripts_{suffix}.parquet")
     if not os.path.exists(path):
         from fixtures.generate import write_transcripts_parquet
