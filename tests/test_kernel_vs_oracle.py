@@ -124,3 +124,27 @@ def test_hypothesis_layout_if_available():
             assert got[i] == spatial.reflow(d)
 
     run()
+
+
+def test_content_dedup_expansion_identical():
+    """extract_batch_flat(dedup=True) must be byte-identical to the
+    non-deduped path on inputs with heavy payload repetition."""
+    from pdfextraction_spark.kernels.extract import extract_batch_flat
+
+    rng = np.random.default_rng(424242)
+    base = gen_transcripts("xs")["text"].astype(object).tolist()
+    texts = pd.Series(
+        [base[int(rng.integers(0, len(base)))] for _ in range(2000)],
+        dtype="object",
+    )
+    a = extract_batch_flat(texts, dedup=True)
+    b = extract_batch_flat(texts, dedup=False)
+    assert list(a.text) == list(b.text)
+    assert list(a.kinds) == list(b.kinds)
+    assert a.span_labels == b.span_labels
+    assert a.span_starts == b.span_starts
+    assert a.span_ends == b.span_ends
+    assert (a.span_counts == b.span_counts).all()
+    assert (a.kept == b.kept).all()
+    assert (a.dropped == b.dropped).all()
+    assert (a.failed == b.failed).all()
