@@ -358,10 +358,23 @@ def q_merge_conv_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_extract_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3 coordinate table extraction (J3/J4/W3/A4/A5/F2-F4 families,
-    coordinate_table_extractor.py) over pdf_layout turns."""
+    coordinate_table_extractor.py) over pdf_layout turns.
+
+    Array columns are serialized to scalar strings for the driver's
+    canonicalizer (US-delimited; NUL marks an empty cell) — the native
+    array API stays on the operator itself."""
     from pdfextraction_spark.operators.tables import extract_tables
 
-    return extract_tables(_fixture_turns(spark, sf_dir))
+    t = extract_tables(_fixture_turns(spark, sf_dir))
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "table_idx",
+        F.array_join("headers", "\x1f").alias("headers"),
+        F.array_join("columns", "\x1f").alias("columns"),
+        "row_idx",
+        F.array_join("cells", "\x1f", "\x00").alias("cells"),
+    )
 
 
 def q_spacing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,7 +409,7 @@ def q_conv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ex = extract_dataframe(_fixture_turns(spark, sf_dir), num_partitions=8)
     return merge_conversation_fields(ex).groupBy("conv_id").agg(
-        F.array_sort(F.collect_set("field")).alias("form_fields"),
+        F.array_join(F.array_sort(F.collect_set("field")), ",").alias("form_fields"),
         F.count("*").alias("n_fields"),
     )
 

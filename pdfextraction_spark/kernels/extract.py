@@ -86,6 +86,9 @@ def _decode_envelopes_flat(texts: List[str]):
     for i, s in enumerate(texts):
         matches = _WORD_FAST_RE.findall(s)
         if len(matches) != len(_WORD_COUNT_RE.findall(s)):
+            # strict-path tokens come out of json.loads ALREADY decoded;
+            # they must never see the escape fix below (a literal
+            # backslash in a decoded token is data, not an escape)
             dec = _decode_json_strict(s)
             if dec is None:
                 failed[i] = True
@@ -99,9 +102,22 @@ def _decode_envelopes_flat(texts: List[str]):
                 cs_x1.append(repr(c))
                 cs_y1.append(repr(e))
             continue
-        sizes[i] = len(matches)
         if matches:
             ts, xs, ys, x1s, y1s = zip(*matches)
+            if "\\" in s:
+                # fast-path tokens are raw JSON string bodies: decode
+                # escapes per token (rare — gated on the envelope
+                # containing a backslash at all). An invalid escape
+                # (e.g. C:\path unescaped) is invalid JSON, so fail the
+                # doc exactly as the strict parser would.
+                try:
+                    ts = [
+                        json.loads(f'"{t}"') if "\\" in t else t for t in ts
+                    ]
+                except ValueError:
+                    failed[i] = True
+                    continue
+            sizes[i] = len(matches)
             all_t.extend(ts)
             cs_x0.extend(xs)
             cs_y0.extend(ys)
@@ -109,10 +125,6 @@ def _decode_envelopes_flat(texts: List[str]):
             cs_y1.extend(y1s)
     t_arr = np.asarray(all_t, dtype=object)
     if len(all_t):
-        # JSON string escapes are rare: fix only tokens containing '\'
-        esc = pd.Series(t_arr, dtype="object").str.contains("\\", regex=False)
-        for j in np.flatnonzero(esc.to_numpy()):
-            t_arr[j] = json.loads(f'"{t_arr[j]}"')
         coord = np.empty((len(all_t), 4), dtype=np.float64)
         coord[:, 0] = np.asarray(cs_x0, dtype=np.float64)
         coord[:, 1] = np.asarray(cs_y0, dtype=np.float64)

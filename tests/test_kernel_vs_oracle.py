@@ -148,3 +148,45 @@ def test_content_dedup_expansion_identical():
     assert (a.kept == b.kept).all()
     assert (a.dropped == b.dropped).all()
     assert (a.failed == b.failed).all()
+
+
+def test_envelope_escape_handling():
+    """JSON escape decoding parity (kernel vs oracle) on every decode
+    path: fast-path valid escapes, strict-path backslash-bearing
+    tokens (must NOT be double-decoded), and invalid escapes (must
+    degrade to parse_failed, not crash the batch)."""
+    from pdfextraction_spark.payload import encode_pdf_envelope
+
+    # 1. canonical envelopes (fast path) with escaped text
+    fast = encode_pdf_envelope(
+        [("C:\\path", 36.0, 72.0, 80.0, 82.0),
+         ("a\bc", 100.0, 72.0, 120.0, 82.0),
+         ('say "hi"', 140.0, 72.0, 180.0, 82.0)]
+    )
+    # 2. non-canonical spacing -> strict json.loads path; tokens carry
+    #    a literal backslash AFTER decoding (old bug: re-decoded ->
+    #    crash on C:\path, corruption of a\bc)
+    strict = (
+        '{"kind": "pdf_layout", "words": ['
+        '{"t":"C:\\\\path","x0":36.0,"y0":72.0,"x1":80.0,"y1":82.0}, '
+        '{"t":"a\\\\bc","x0":100.0,"y0":72.0,"x1":130.0,"y1":82.0}]}'
+    )
+    # 3. canonical-shaped envelope with an INVALID JSON escape -> the
+    #    fast regex matches but decoding must fail the doc (strict
+    #    parse of the whole envelope fails identically)
+    bad = (
+        '{"kind": "pdf_layout", "words": ['
+        '{"t": "C:\\qath", "x0": 36.0, "y0": 72.0, "x1": 80.0, "y1": 82.0}]}'
+    )
+    df = pd.DataFrame({"text": [fast, strict, bad]})
+    _assert_frames_equal(
+        golden_frame(df.assign(conv_id="c", turn_idx=[0, 1, 2])),
+        extract_batch(df["text"]),
+    )
+    got = extract_batch(df["text"])
+    assert "C:\\path" in got["extracted_text"].iloc[0]
+    assert "a\bc" in got["extracted_text"].iloc[0]
+    # strict-path literal backslashes preserved byte-for-byte
+    assert "C:\\path" in got["extracted_text"].iloc[1]
+    assert "a\\bc" in got["extracted_text"].iloc[1]
+    assert bool(got["parse_failed"].iloc[2])
