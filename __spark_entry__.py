@@ -329,11 +329,19 @@ def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (rows-only checks; golden equality is enforced by pytest)
 
 def q_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship extraction, driver-checkable: spans serialized to
+    'label:start:end|...' so text AND span offsets are value-hashed
+    against the loop-oracle golden parquet."""
     from pdfextraction_spark.pipeline import extract_dataframe
 
-    return extract_dataframe(_fixture_turns(spark, sf_dir), num_partitions=8).drop(
-        "spans"
+    ex = extract_dataframe(_fixture_turns(spark, sf_dir), num_partitions=8)
+    span_str = F.array_join(
+        F.transform(
+            "spans", lambda s: F.concat_ws(":", s["label"], s["start"], s["end"])
+        ),
+        "|",
     )
+    return ex.withColumn("spans", span_str)
 
 
 def q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,7 +390,16 @@ def q_spacing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per pdf_layout turn."""
     from pdfextraction_spark.operators.stats import spacing_stats_turns
 
-    return spacing_stats_turns(_fixture_turns(spark, sf_dir))
+    st = spacing_stats_turns(_fixture_turns(spark, sf_dir))
+    # round: the vectorized kernel and the loop oracle sum in different
+    # orders, so raw doubles can differ in the last ulp
+    return st.select(
+        "conv_id",
+        "turn_idx",
+        F.round("avg_spacing", 4).alias("avg_spacing"),
+        F.round("median_spacing", 4).alias("median_spacing"),
+        F.round("spacing_std", 4).alias("spacing_std"),
+    )
 
 
 def q_table_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,7 +503,7 @@ def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "payload_kind",
             F.round(X.quality_score(t), 4).alias("quality"),
             X.is_english(t).alias("is_en"),
-            F.length(t).alias("n_chars"),
+            F.length(t).cast("long").alias("n_chars"),
         )
         .filter((F.col("quality") >= 0.3) & (F.col("n_chars") >= 20))
     )
@@ -734,5 +751,103 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1, 2
+        """,
+        **_golden_oracle_sql(),
+    }
+
+
+def _golden_oracle_sql() -> dict[str, str]:
+    """DuckDB oracles for the extraction-family queries: plain SQL over
+    parquet written by the LOOP-BASED oracle (pdfextraction_spark/
+    oracle/, the reference-semantics mirror) — independent of every
+    vectorized kernel the Spark queries execute. Golden tables are
+    (re)generated on demand, version-keyed; paths are for the 's'
+    fixture tier, which is what the driver's sf0.01 correctness run
+    maps to."""
+    from fixtures.golden import ensure_golden
+
+    g = ensure_golden("s")
+
+    def t(name: str) -> str:
+        return os.path.join(g, f"{name}.parquet")
+
+    quality_feat = """
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws,
+              length(text) AS n_chars,
+              length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                        x -> x IN {stop})) END AS n_stop,
+              length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS n_ascii
+    """.format(stop=_STOPWORDS_SQL)
+    return {
+        "extract_turns": f"""
+            SELECT conv_id, turn_idx, role, ts, payload_kind,
+                   extracted_text, spans, blocks_kept, blocks_dropped,
+                   parse_failed
+            FROM read_parquet('{t("turns")}')
+        """,
+        "extract_metrics": f"""
+            SELECT payload_kind, COUNT(*) AS n_turns,
+                   CAST(SUM(blocks_kept) AS BIGINT) AS blocks_kept,
+                   CAST(SUM(blocks_dropped) AS BIGINT) AS blocks_dropped,
+                   CAST(SUM(CAST(parse_failed AS INTEGER)) AS BIGINT) AS parse_failures
+            FROM read_parquet('{t("turns")}')
+            GROUP BY payload_kind
+        """,
+        "merge_conv_fields": f"""
+            SELECT conv_id, field, value, source_turn, conflict_detected,
+                   n_occurrences
+            FROM read_parquet('{t("merge")}')
+        """,
+        "conv_schema": f"""
+            SELECT conv_id,
+                   string_agg(field, ',' ORDER BY field) AS form_fields,
+                   COUNT(*) AS n_fields
+            FROM read_parquet('{t("merge")}')
+            GROUP BY conv_id
+        """,
+        "extract_tables": f"""
+            SELECT conv_id, turn_idx, table_idx, headers, columns,
+                   row_idx, cells
+            FROM read_parquet('{t("tables")}')
+        """,
+        "table_anomalies": f"""
+            SELECT conv_id, turn_idx, table_idx, COUNT(*) AS n_rows,
+                   COUNT(DISTINCT len(list_filter(string_split(cells, chr(31)),
+                                                  x -> x <> chr(0)))) > 1 AS anomaly
+            FROM read_parquet('{t("tables")}')
+            GROUP BY conv_id, turn_idx, table_idx
+        """,
+        "spacing_stats": f"""
+            SELECT conv_id, turn_idx,
+                   round(avg_spacing, 4) AS avg_spacing,
+                   round(median_spacing, 4) AS median_spacing,
+                   round(spacing_std, 4) AS spacing_std
+            FROM read_parquet('{t("spacing")}')
+        """,
+        "fence_json": f"""
+            SELECT conv_id, turn_idx, status, "count", n_items
+            FROM read_parquet('{t("fence")}')
+        """,
+        "training_filter": f"""
+            WITH feat AS (
+              SELECT conv_id, turn_idx, payload_kind,
+                {quality_feat}
+              FROM (SELECT conv_id, turn_idx, payload_kind,
+                           extracted_text AS text
+                    FROM read_parquet('{t("turns")}')
+                    WHERE NOT parse_failed)
+            )
+            SELECT conv_id, turn_idx, payload_kind,
+                   round((least(n_chars / 500.0, 1.0)
+                          + (1.0 - least((CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct * 1.0 / n_chars END) * 4.0, 1.0))
+                          + least((CASE WHEN n_ws = 0 THEN 0.0 ELSE n_stop * 1.0 / n_ws END) * 5.0, 1.0)) / 3.0, 4) AS quality,
+                   (CASE WHEN n_ws = 0 THEN 0.0 ELSE n_stop * 1.0 / n_ws END) >= 0.05
+                     AND n_ascii * 1.0 / greatest(n_chars, 1) >= 0.9 AS is_en,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM feat
+            WHERE quality >= 0.3 AND n_chars >= 20
         """,
     }

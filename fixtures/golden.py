@@ -1,0 +1,226 @@
+"""Golden-oracle parquet tables for the driver's DuckDB correctness
+gate (VERDICT r1 item 2).
+
+The pytest suite already pins the vectorized kernels byte-for-byte to
+the loop-based oracle (pdfextraction_spark/oracle/). This module runs
+that SAME oracle over a fixture tier and writes its outputs as plain
+parquet, so the driver's DuckDB side can check the Spark queries with
+``SELECT ... FROM read_parquet('<golden>')`` — turning the extraction
+family from rows-only checks into real row/schema/value-hash checks.
+
+Array-valued outputs are serialized to scalar strings with the same
+conventions the Spark queries use (the driver canonicalizer cannot
+hash list cells):
+
+- spans:            "label:start:end" joined by "|"
+- headers/columns:  joined by US (\\x1f)
+- cells:            joined by US; NUL (\\x00) marks a missing cell
+- int lists/maps:   joined by ","  (rows_by_turn as "turn:count")
+
+Cache is keyed by FIXTURE_VERSION + GOLDEN_VERSION: bump
+GOLDEN_VERSION whenever golden derivation changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from fixtures.generate import FIXTURE_VERSION, gen_transcripts, golden_frame
+
+GOLDEN_VERSION = 1
+
+SPAN_SEP = "|"
+US = "\x1f"
+NUL = "\x00"
+
+
+def _ser_spans(spans) -> str:
+    return SPAN_SEP.join(f"{d['label']}:{d['start']}:{d['end']}" for d in spans)
+
+
+def _ser_cells(cells) -> str:
+    return US.join(NUL if c is None else c for c in cells)
+
+
+def _turns_golden(df: pd.DataFrame) -> pd.DataFrame:
+    g = golden_frame(df)
+    g["spans"] = [_ser_spans(s) for s in g["spans"]]
+    g = g.merge(df[["conv_id", "turn_idx", "role", "ts"]],
+                on=["conv_id", "turn_idx"], how="left")
+    return pd.DataFrame(
+        {
+            "conv_id": g["conv_id"].astype(str),
+            "turn_idx": g["turn_idx"].astype(np.int32),
+            "role": g["role"].astype(str),
+            "ts": g["ts"].astype("datetime64[us]"),
+            "payload_kind": g["payload_kind"].astype(str),
+            "extracted_text": g["extracted_text"].astype(str),
+            "spans": g["spans"].astype(str),
+            "blocks_kept": g["blocks_kept"].astype(np.int32),
+            "blocks_dropped": g["blocks_dropped"].astype(np.int32),
+            "parse_failed": g["parse_failed"].astype(bool),
+        }
+    )
+
+
+def _pdf_docs(df: pd.DataFrame):
+    """(conv_id, turn_idx, words) for every decodable pdf_layout turn."""
+    from pdfextraction_spark.payload import (
+        KIND_PDF,
+        decode_pdf_envelope,
+        detect_kind,
+    )
+
+    for conv_id, turn_idx, text in zip(df["conv_id"], df["turn_idx"], df["text"]):
+        if detect_kind(text) != KIND_PDF:
+            continue
+        words = decode_pdf_envelope(text)
+        if words is None:
+            continue
+        yield str(conv_id), int(turn_idx), words
+
+
+def _tables_golden(df: pd.DataFrame) -> pd.DataFrame:
+    from pdfextraction_spark.oracle.tables import extract_doc_tables
+
+    rows = []
+    for conv_id, turn_idx, words in _pdf_docs(df):
+        for ti, tab in enumerate(extract_doc_tables(words)):
+            headers = US.join(tab["headers"])
+            columns = US.join(tab["columns"])
+            for ri, cells in enumerate(tab["rows"]):
+                rows.append((conv_id, turn_idx, ti, headers, columns, ri,
+                             _ser_cells(cells)))
+    out = pd.DataFrame(
+        rows,
+        columns=["conv_id", "turn_idx", "table_idx", "headers", "columns",
+                 "row_idx", "cells"],
+    )
+    out["turn_idx"] = out["turn_idx"].astype(np.int32)
+    out["table_idx"] = out["table_idx"].astype(np.int32)
+    out["row_idx"] = out["row_idx"].astype(np.int32)
+    return out
+
+
+def _spacing_golden(df: pd.DataFrame) -> pd.DataFrame:
+    from pdfextraction_spark.oracle.spatial import spacing_stats
+
+    rows = [
+        (conv_id, turn_idx, *spacing_stats(words))
+        for conv_id, turn_idx, words in _pdf_docs(df)
+    ]
+    out = pd.DataFrame(
+        rows,
+        columns=["conv_id", "turn_idx", "avg_spacing", "median_spacing",
+                 "spacing_std"],
+    )
+    out["turn_idx"] = out["turn_idx"].astype(np.int32)
+    return out
+
+
+def _merge_golden(turns_golden: pd.DataFrame) -> pd.DataFrame:
+    from pdfextraction_spark.oracle.mergeops import (
+        merge_conversation_fields_golden,
+    )
+
+    merged = merge_conversation_fields_golden(
+        zip(turns_golden["conv_id"], turns_golden["turn_idx"],
+            turns_golden["extracted_text"])
+    )
+    out = pd.DataFrame(
+        merged,
+        columns=["conv_id", "field", "value", "source_turn",
+                 "conflict_detected", "n_occurrences"],
+    )
+    out["source_turn"] = out["source_turn"].astype(np.int32)
+    out["n_occurrences"] = out["n_occurrences"].astype(np.int64)
+    out["conflict_detected"] = out["conflict_detected"].astype(bool)
+    return out
+
+
+def _fence_golden(df: pd.DataFrame) -> pd.DataFrame:
+    from pdfextraction_spark.oracle.mergeops import parse_fence_golden
+
+    rows = []
+    for conv_id, turn_idx, text in zip(df["conv_id"], df["turn_idx"], df["text"]):
+        r = parse_fence_golden(text)
+        if r is None:
+            continue
+        rows.append((str(conv_id), int(turn_idx), r[0], r[1], r[2]))
+    out = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "status", "count", "n_items"]
+    )
+    out["turn_idx"] = out["turn_idx"].astype(np.int32)
+    out["count"] = out["count"].astype("Int32")
+    out["n_items"] = out["n_items"].astype("Int32")
+    return out
+
+
+def _table_merge_golden(tables_golden: pd.DataFrame) -> pd.DataFrame:
+    from pdfextraction_spark.oracle.mergeops import (
+        merge_conversation_tables_golden,
+    )
+
+    grouped = (
+        tables_golden.groupby(
+            ["conv_id", "turn_idx", "table_idx", "headers"], sort=False
+        )
+        .size()
+        .reset_index(name="n_rows")
+    )
+    merged = merge_conversation_tables_golden(
+        (r.conv_id, int(r.turn_idx), int(r.table_idx),
+         r.headers, int(r.n_rows))
+        for r in grouped.itertuples()
+    )
+    out = pd.DataFrame(
+        [
+            (
+                m["conv_id"],
+                m["headers"],
+                m["total_rows"],
+                ",".join(str(t) for t in m["source_turns"]),
+                ",".join(f"{t}:{c}" for t, c in m["rows_by_turn"].items()),
+                m["spans_multiple_turns"],
+            )
+            for m in merged
+        ],
+        columns=["conv_id", "headers", "total_rows", "source_turns",
+                 "rows_by_turn", "spans_multiple_turns"],
+    )
+    out["total_rows"] = out["total_rows"].astype(np.int64)
+    return out
+
+
+def golden_dir(tier: str, cache_dir: str = "/tmp/pdfx_fixtures") -> str:
+    return os.path.join(
+        cache_dir, f"golden_{tier}_f{FIXTURE_VERSION}_g{GOLDEN_VERSION}"
+    )
+
+
+def ensure_golden(tier: str, cache_dir: str = "/tmp/pdfx_fixtures") -> str:
+    """Build (once) and cache all golden tables for a tier; returns the
+    directory holding {turns,tables,spacing,merge,fence,table_merge}
+    .parquet."""
+    path = golden_dir(tier, cache_dir)
+    if os.path.exists(path):
+        return path
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    df = gen_transcripts(tier)
+    turns = _turns_golden(df)
+    turns.to_parquet(os.path.join(tmp, "turns.parquet"), index=False)
+    tables = _tables_golden(df)
+    tables.to_parquet(os.path.join(tmp, "tables.parquet"), index=False)
+    _spacing_golden(df).to_parquet(os.path.join(tmp, "spacing.parquet"), index=False)
+    _merge_golden(turns).to_parquet(os.path.join(tmp, "merge.parquet"), index=False)
+    _fence_golden(df).to_parquet(os.path.join(tmp, "fence.parquet"), index=False)
+    _table_merge_golden(tables).to_parquet(
+        os.path.join(tmp, "table_merge.parquet"), index=False
+    )
+    os.replace(tmp, path)
+    return path
