@@ -431,6 +431,28 @@ def q_conv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classify_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-1 structure classification (openai_service.py:256-283,
+    prompts.py:14-40) made deterministic: form/table/mixed per
+    decodable pdf_layout turn from field-line + table-region evidence."""
+    from pdfextraction_spark.operators.classify import classify_blocks
+    from pdfextraction_spark.operators.tables import extract_tables
+    from pdfextraction_spark.pipeline import extract_dataframe
+
+    turns = _fixture_turns(spark, sf_dir)
+    ex = extract_dataframe(turns, num_partitions=8)
+    return classify_blocks(ex, extract_tables(turns))
+
+
+def q_merge_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 cross-turn table accumulation with source metadata
+    (result_merger.py:122-163)."""
+    from pdfextraction_spark.operators.merge import merge_conversation_tables
+    from pdfextraction_spark.operators.tables import extract_tables
+
+    return merge_conversation_tables(extract_tables(_fixture_turns(spark, sf_dir)))
+
+
 def q_fence_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X16/X17 markdown-fence JSON extraction + repair
     (openai_service.py:115-220) over tool-output turns."""
@@ -536,6 +558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_anomalies": q_table_anomalies,
         "spacing_stats": q_spacing_stats,
         "conv_schema": q_conv_schema,
+        "classify_blocks": q_classify_blocks,
+        "merge_tables": q_merge_tables,
         "fence_json": q_fence_json,
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
@@ -830,6 +854,41 @@ def _golden_oracle_sql() -> dict[str, str]:
         "fence_json": f"""
             SELECT conv_id, turn_idx, status, "count", n_items
             FROM read_parquet('{t("fence")}')
+        """,
+        "classify_blocks": f"""
+            WITH f AS (
+              SELECT conv_id, turn_idx,
+                     CAST(len(list_filter(string_split(spans, '|'),
+                                          s -> s LIKE 'fields:%')) AS BIGINT)
+                       AS n_field_lines
+              FROM read_parquet('{t("turns")}')
+              WHERE payload_kind = 'pdf_layout' AND NOT parse_failed
+            ), tr AS (
+              SELECT conv_id, turn_idx,
+                     CAST(COUNT(DISTINCT table_idx) AS BIGINT) AS n_table_regions
+              FROM read_parquet('{t("tables")}')
+              GROUP BY conv_id, turn_idx
+            )
+            SELECT f.conv_id, f.turn_idx,
+                   CASE WHEN coalesce(tr.n_table_regions, 0) > 0
+                             AND f.n_field_lines > 0 THEN 'mixed'
+                        WHEN coalesce(tr.n_table_regions, 0) > 0 THEN 'table'
+                        WHEN f.n_field_lines > 0 THEN 'form'
+                        ELSE 'unknown' END AS block_class,
+                   CASE WHEN coalesce(tr.n_table_regions, 0) > 0
+                             OR f.n_field_lines > 0
+                        THEN round(0.5 + 0.1 * least(
+                               f.n_field_lines
+                                 + 2 * coalesce(tr.n_table_regions, 0), 4), 2)
+                        ELSE 0.0 END AS confidence,
+                   coalesce(tr.n_table_regions, 0) AS n_table_regions,
+                   f.n_field_lines
+            FROM f LEFT JOIN tr USING (conv_id, turn_idx)
+        """,
+        "merge_tables": f"""
+            SELECT conv_id, headers, total_rows, source_turns,
+                   rows_by_turn, spans_multiple_turns
+            FROM read_parquet('{t("table_merge")}')
         """,
         "training_filter": f"""
             WITH feat AS (

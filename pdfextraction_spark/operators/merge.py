@@ -72,6 +72,50 @@ def merge_conversation_fields(extracted: DataFrame) -> DataFrame:
     )
 
 
+def merge_conversation_tables(tables: DataFrame) -> DataFrame:
+    """Cross-turn table accumulation with source metadata
+    (result_merger.py:122-163): rows from tables with the same identity
+    accumulate across turns; metadata records total rows, contributing
+    turns, per-turn row counts and the multi-turn flag.
+
+    Table identity is the headers signature (the reference keys on the
+    LLM-assigned table_name, result_merger.py:128-129; headers are the
+    deterministic analogue — the reference keeps the FIRST page's
+    headers for the collection, :133-137, which the signature makes
+    trivially consistent). The map/array metadata columns are
+    serialized to scalar strings ('turn:count' CSV) so downstream
+    sinks and the driver canonicalizer see flat columns.
+
+    Two-level aggregation, both hash-partial: (conv, headers, turn)
+    row counts, then (conv, headers) accumulation — at cluster scale
+    the second shuffle is tiny (one row per table per turn)."""
+    per_turn = (
+        tables.groupBy(
+            "conv_id",
+            F.array_join("headers", "\x1f").alias("headers"),
+            "turn_idx",
+        )
+        .agg(F.count("*").alias("n_rows"))
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "n_rows")))
+    return per_turn.groupBy("conv_id", "headers").agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["turn_idx"].cast("string")), ","
+        ).alias("source_turns"),
+        F.array_join(
+            F.transform(
+                ordered,
+                lambda s: F.concat_ws(
+                    ":", s["turn_idx"].cast("string"), s["n_rows"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("rows_by_turn"),
+        (F.count("*") > 1).alias("spans_multiple_turns"),
+    )
+
+
 def accumulate_conversation_lines(extracted: DataFrame) -> DataFrame:
     """A9 analogue: per conversation, all extracted lines accumulated
     in (turn_idx, line order), with source-turn metadata columns
