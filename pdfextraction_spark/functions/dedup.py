@@ -64,32 +64,82 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
+def hot_shingles(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 3,
+                 max_df: int = 1000) -> DataFrame:
+    """Shingles whose document frequency exceeds ``max_df`` — the head
+    of the frequency distribution (boilerplate headers, license
+    blurbs, templated sentences). One column ``sh``. Globally small by
+    construction (the tail can't exceed corpus_shingles / max_df
+    entries), so it broadcasts."""
+    sh = with_shingles(df, text_col, id_col, n)
+    return (
+        sh.select(F.explode("shingles").alias("sh"))
+        .groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("sh")
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.6) -> DataFrame:
-    """All pairs (a<b) with word-n-gram Jaccard >= threshold."""
+                        threshold: float = 0.6,
+                        max_shingle_df: int = 1000) -> DataFrame:
+    """Pairs (a<b) with word-n-gram Jaccard >= threshold.
+
+    Blocking: candidates must share >= 1 COLD shingle (document
+    frequency <= max_shingle_df). A hot shingle shared by k documents
+    would otherwise emit k^2/2 join rows — one boilerplate sentence in
+    1% of a 10^9-doc corpus makes the self-join quadratic. The hot set
+    is tiny by construction, so it rides a broadcast anti-join.
+
+    The REPORTED Jaccard stays exact: per-pair intersection counts add
+    |hot_a ∩ hot_b| back from broadcast per-doc hot-shingle arrays, so
+    filtering only affects candidate GENERATION. Recall bound: a pair
+    sharing ONLY hot shingles is never considered — with a sane
+    max_df those pairs are boilerplate-dominated, not near-duplicates
+    (same stance as the reference corpora-dedup literature)."""
     sh = with_shingles(df, text_col, id_col, n)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    a = ex.alias("a")
-    b = ex.alias("b")
+    hot = hot_shingles(df, text_col, id_col, n, max_shingle_df)
+    cold = ex.join(F.broadcast(hot), "sh", "left_anti")
+    # per-doc hot-shingle arrays: bounded by |hot set|, usually empty
+    hot_sets = (
+        ex.join(F.broadcast(hot), "sh", "semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("sh").alias("hot_sh"))
+    )
+    a = cold.alias("a")
+    b = cold.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
+        .agg(F.count("*").alias("n_cold"))
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    ha = hot_sets.select(F.col("doc_id").alias("id_a"), F.col("hot_sh").alias("hot_a"))
+    hb = hot_sets.select(F.col("doc_id").alias("id_b"), F.col("hot_sh").alias("hot_b"))
+    empty = F.array().cast("array<string>")
+    n_inter = F.col("n_cold") + F.size(
+        F.array_intersect(
+            F.coalesce("hot_a", empty), F.coalesce("hot_b", empty)
+        )
+    )
+    # candidate side is small after blocking; sizes/hot_sets are
+    # corpus-sized, so these stay shuffle equi-joins (AQE broadcasts
+    # the candidate side when it fits — never force-broadcast a
+    # corpus-sized table)
     return (
-        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .join(ha, "id_a", "left")
+        .join(hb, "id_b", "left")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ),
+            F.round(n_inter / (F.col("n_a") + F.col("n_b") - n_inter), 6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -203,29 +253,81 @@ def simhash64(df: DataFrame, text_col: str = "text",
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+def _band_bounds(bits: int, bands: int):
+    """Split ``bits`` positions into ``bands`` contiguous chunks whose
+    widths differ by at most 1. Returns [(start, width), ...]."""
+    base, extra = divmod(bits, bands)
+    bounds = []
+    start = 0
+    for i in range(bands):
+        width = base + (1 if i < extra else 0)
+        bounds.append((start, width))
+        start += width
+    return bounds
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance. The pair join blocks
-    on the top-16-bit prefix (at scale: multi-table rotation blocking)."""
+                       id_col: str = "doc_id", max_hamming: int = 8,
+                       bands: int | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded blocking
+    (Manku et al., WWW'07 style).
+
+    The 64 bits split into ``bands`` contiguous chunks; a candidate
+    pair must collide in at least one (band, chunk-value) bucket. With
+    bands >= max_hamming + 1 (the default) recall is GUARANTEED by
+    pigeonhole: d differing bits can dirty at most d bands, leaving one
+    identical band. Candidates are verified by exact bit_count(xor).
+
+    The cost dial: more bands -> narrower chunks -> bigger buckets
+    (band width w gives expected n/2^w docs per bucket). d=12 forces
+    13 bands of ~5 bits — fine into the 10^7-doc range; at larger
+    corpus x distance products, lower d (the standard d=3 with 4
+    16-bit bands) or pre-partition by length band."""
+    if bands is None:
+        bands = max_hamming + 1
     sh = simhash64(df, text_col, id_col)
-    sh = sh.withColumn("blk", F.shiftrightunsigned("simhash", 48))
-    a, b = sh.alias("a"), sh.alias("b")
-    return (
+
+    def _band_key(start: int, width: int):
+        shifted = F.shiftrightunsigned("simhash", start)
+        if start + width >= 64:  # top band: shift already truncates
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
+    bucket_rows = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        _band_key(start, width).alias("key"),
+                    )
+                    for bi, (start, width) in enumerate(_band_bounds(64, bands))
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    a, b = bucket_rows.alias("a"), bucket_rows.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.blk") == F.col("b.blk"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .withColumn(
-            "hamming",
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ),
-        )
-        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            "hamming",
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
         )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

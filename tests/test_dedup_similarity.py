@@ -214,3 +214,65 @@ def test_asof_join_formulations_agree(spark):
     assert len(a) == len(b)
     assert (a["event_id"].to_numpy() == b["event_id"].to_numpy()).all()
     assert (a["asof_ts"].to_numpy() == b["asof_ts"].to_numpy()).all()
+
+
+def test_simhash_banded_recall_exact(spark, docs):
+    """Banded blocking (bands = d+1) must find EVERY pair within
+    Hamming distance d — pigeonhole guarantee — verified against an
+    exact all-pairs Hamming join."""
+    import itertools
+
+    d = 12
+    sims = {r.doc_id: r.simhash for r in D.simhash64(docs).collect()}
+
+    def ham(a, b):  # simhashes are signed longs: mask to 64 bits
+        return bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
+
+    exact = {
+        (a, b, ham(a, b))
+        for a, b in itertools.combinations(sorted(sims), 2)
+        if ham(a, b) <= d
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_near_pairs(docs, max_hamming=d).collect()
+    }
+    assert len(exact) > 0
+    assert got == exact
+
+
+def test_ngram_stoplist_skew_equivalence(spark):
+    """Hot-shingle stoplist: on a corpus where every doc shares one
+    boilerplate sentence (the quadratic-join hazard), the df-filtered
+    blocking returns byte-identical pairs to the unfiltered run —
+    candidate generation shrinks, reported Jaccard stays exact."""
+    rng = np.random.default_rng(99)
+    vocab = [f"t{i}" for i in range(4000)]
+    boiler = " ".join(f"b{i}" for i in range(12))
+    rows = []
+    did = 0
+    for b in range(300):
+        tail = list(rng.choice(vocab, size=30, replace=False))
+        rows.append((did, boiler + " " + " ".join(tail))); did += 1
+        if b % 10 == 0:  # planted near-dup
+            mut = list(tail)
+            mut[5] = vocab[int(rng.integers(0, 4000))]
+            rows.append((did, boiler + " " + " ".join(mut))); did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.cache().count()
+    try:
+        hot = {r.sh for r in D.hot_shingles(df, max_df=50).collect()}
+        assert "b0 b1 b2" in hot  # boilerplate shingles are caught
+        assert all(s.startswith("b") for s in hot)
+        with_stop = sorted(
+            map(tuple, D.ngram_jaccard_pairs(df, threshold=0.3,
+                                             max_shingle_df=50).collect())
+        )
+        without = sorted(
+            map(tuple, D.ngram_jaccard_pairs(df, threshold=0.3,
+                                             max_shingle_df=10**9).collect())
+        )
+        assert with_stop == without
+        assert len(with_stop) == 30  # exactly the planted pairs
+    finally:
+        df.unpersist()
