@@ -32,6 +32,7 @@ from .operators.partitioning import (
 from .sources.manifest import (
     append_manifest,
     committed_partitions,
+    reconcile_orphan_commits,
     snapshot_id_for_path,
 )
 from .sources.transcripts import read_transcripts
@@ -56,17 +57,24 @@ def run_extraction_job(
     salt_turns: int = MEGA_CONV_TURNS_PER_SALT,
     n_chunks: int = 4,
     fail_after_chunks: Optional[int] = None,
+    fail_before_manifest_chunk: Optional[int] = None,
 ) -> dict:
     """Resumable extraction job. Returns a summary dict.
 
-    ``fail_after_chunks`` injects a crash after k committed chunks
-    (resume tests only).
+    ``fail_after_chunks`` injects a crash after k committed chunks;
+    ``fail_before_manifest_chunk`` injects a crash INSIDE the commit
+    window of chunk k — after its output append, before its manifest
+    append (resume tests only).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     snapshot = snapshot_id_for_path(input_path)
     turns = read_transcripts(spark, input_path)
     turns = logical_partition_id(turns, num_partitions)
 
+    # a prior crash between output append and manifest append leaves
+    # rows under a commit_id the manifest never saw: drop them before
+    # computing todo, or the re-extraction would duplicate them
+    orphans = reconcile_orphan_commits(spark, output_path, manifest_path)
     done = committed_partitions(spark, manifest_path, snapshot)
     all_parts = list(range(num_partitions))
     todo = [p for p in all_parts if p not in done]
@@ -108,6 +116,10 @@ def run_extraction_job(
         # to the 4 metric columns, so the stats pass is cheap and the
         # manifest provably describes what is durable on disk
         out.write.mode("append").partitionBy("commit_id").parquet(output_path)
+        if fail_before_manifest_chunk is not None and ci + 1 >= fail_before_manifest_chunk:
+            raise RuntimeError(
+                f"injected failure inside commit window of chunk {ci + 1}"
+            )
         stats = (
             spark.read.parquet(output_path)
             .filter(F.col("commit_id") == commit_id)
@@ -125,6 +137,7 @@ def run_extraction_job(
         rows = [
             {
                 "run_id": run_id,
+                "commit_id": commit_id,
                 "source_snapshot_id": snapshot,
                 "partition_id": int(p),
                 "row_count": int(seen[p].row_count) if p in seen else 0,
@@ -147,6 +160,7 @@ def run_extraction_job(
     return {
         "run_id": run_id,
         "source_snapshot_id": snapshot,
+        "orphan_commits_reconciled": orphans,
         "partitions_done_before": len(done),
         "partitions_processed": len(todo),
         "rows_written": total_rows,

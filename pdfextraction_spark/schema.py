@@ -59,6 +59,7 @@ EXTRACTED_ARROW = pa.schema(
 MANIFEST_SCHEMA = T.StructType(
     [
         T.StructField("run_id", T.StringType()),
+        T.StructField("commit_id", T.StringType()),
         T.StructField("source_snapshot_id", T.StringType()),
         T.StructField("partition_id", T.IntegerType()),
         T.StructField("row_count", T.LongType()),

@@ -62,6 +62,47 @@ def committed_partitions(
     return {r.partition_id for r in rows}
 
 
+def committed_commit_ids(spark: SparkSession, manifest_path: str) -> Set[str]:
+    """All commit_ids with at least one manifest row (any run/snapshot)."""
+    mf = read_manifest(spark, manifest_path)
+    if "commit_id" not in mf.columns:
+        return set()
+    return {r.commit_id for r in mf.select("commit_id").distinct().collect()
+            if r.commit_id is not None}
+
+
+def reconcile_orphan_commits(spark: SparkSession, output_path: str,
+                             manifest_path: str) -> List[str]:
+    """Delete output commit_id=... partitions whose commit never made
+    it into the manifest — the crash window between a chunk's output
+    append and its manifest append otherwise leaves orphan rows that a
+    restart would duplicate (the chunk's partitions are re-extracted
+    under a new commit_id).
+
+    Cheap by construction: the output table is partitioned by
+    commit_id, so this is a directory listing + a pruned manifest
+    scan, independent of data volume. With an Iceberg output table the
+    same reconciliation is `DELETE WHERE commit_id IN (orphans)` —
+    or unnecessary outright when the two appends share a transaction.
+    Returns the deleted commit_ids."""
+    import shutil
+
+    if not os.path.isdir(output_path):
+        return []
+    on_disk = {
+        d.split("=", 1)[1]: os.path.join(output_path, d)
+        for d in os.listdir(output_path)
+        if d.startswith("commit_id=")
+    }
+    if not on_disk:
+        return []
+    committed = committed_commit_ids(spark, manifest_path)
+    orphans = sorted(set(on_disk) - committed)
+    for cid in orphans:
+        shutil.rmtree(on_disk[cid])
+    return orphans
+
+
 def append_manifest(spark: SparkSession, manifest_path: str,
                     rows: List[dict]) -> None:
     if not rows:

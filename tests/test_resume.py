@@ -78,3 +78,41 @@ def test_skew_salting_bounds_partition_size(spark, s_parquet):
     assert len(parts) > 1, "mega-conversation stayed on one partition"
     # no partition should hold more than ~2 salt buckets of the conv
     assert parts["count"].max() <= 64 * 3
+
+
+@pytest.mark.slow
+def test_resume_after_crash_inside_commit_window(spark, s_parquet, tmp_path):
+    """Crash AFTER a chunk's output append but BEFORE its manifest
+    append: the orphan commit's rows must be reconciled away on
+    restart, yielding output identical to an uninterrupted run."""
+    out_a = str(tmp_path / "out_clean")
+    mf_a = str(tmp_path / "mf_clean")
+    run_extraction_job(spark, s_parquet, out_a, mf_a,
+                       num_partitions=8, n_chunks=4)
+
+    out_b = str(tmp_path / "out_window")
+    mf_b = str(tmp_path / "mf_window")
+    with pytest.raises(RuntimeError, match="commit window"):
+        run_extraction_job(
+            spark, s_parquet, out_b, mf_b,
+            num_partitions=8, n_chunks=4, fail_before_manifest_chunk=2,
+        )
+    # chunk 1 committed fully; chunk 2's rows are on disk but NOT in
+    # the manifest — the historical duplicate-rows window
+    import os
+    orphan_dirs = [d for d in os.listdir(out_b) if d.startswith("commit_id=")]
+    assert len(orphan_dirs) == 2  # 1 committed + 1 orphan
+
+    summary = run_extraction_job(spark, s_parquet, out_b, mf_b,
+                                 num_partitions=8, n_chunks=4)
+    assert len(summary["orphan_commits_reconciled"]) == 1
+    assert summary["partitions_done_before"] == 2  # only chunk 1's parts
+
+    cols = ["conv_id", "turn_idx", "extracted_text", "parse_failed"]
+    a = spark.read.parquet(out_a).select(cols).orderBy("conv_id", "turn_idx").toPandas()
+    b = spark.read.parquet(out_b).select(cols).orderBy("conv_id", "turn_idx").toPandas()
+    assert not b.duplicated(["conv_id", "turn_idx"]).any()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+    mf = spark.read.parquet(mf_b).toPandas()
+    assert mf["row_count"].sum() == len(b)
+    assert mf["commit_id"].notna().all()
