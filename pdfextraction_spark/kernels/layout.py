@@ -89,8 +89,10 @@ def _joined_text_rules(joined: pd.Series) -> Tuple[np.ndarray, ...]:
     kw = low.str.contains(_KW_RE, regex=True).to_numpy()
     end = low.str.contains(_END_RE, regex=True).to_numpy()
     common = low.str.contains(_COMMON_RE, regex=True).to_numpy()
+    # reference splits on ANY whitespace run (str.split() semantics,
+    # spatial_preprocessor.py:341-344): last non-whitespace token
     last = (
-        low.str.rsplit(" ", n=1).str[-1].isin(LAST_WORD_FIELDS).to_numpy()
+        low.str.findall(r"\S+").str[-1].isin(LAST_WORD_FIELDS).to_numpy()
     )
     return obvious, kw, end, common, last
 

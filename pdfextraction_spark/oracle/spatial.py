@@ -164,7 +164,11 @@ def is_field_cluster(cluster: Sequence[Word]) -> bool:
             return True
     if any(f in lowered for f in COMMON_FIELDS):
         return True
-    if texts and texts[-1].lower() in LAST_WORD_FIELDS:
+    # the reference re-splits the JOINED text with str.split() (any
+    # whitespace), so a single word containing internal whitespace can
+    # still end with a field token (spatial_preprocessor.py:341-344)
+    parts = original.split()
+    if parts and parts[-1].lower() in LAST_WORD_FIELDS:
         return True
     return False
 

@@ -190,3 +190,31 @@ def test_envelope_escape_handling():
     assert "C:\\path" in got["extracted_text"].iloc[1]
     assert "a\\bc" in got["extracted_text"].iloc[1]
     assert bool(got["parse_failed"].iloc[2])
+
+
+def test_last_word_field_rule_whitespace_words():
+    """Word texts with INTERNAL whitespace: the reference re-splits the
+    joined cluster text with str.split() (spatial_preprocessor.py:341),
+    so 'Employee ID' as one word still ends with the field token 'id'.
+    Kernel and oracle must agree with that semantics (ADVICE r1)."""
+    from pdfextraction_spark.payload import encode_pdf_envelope
+
+    cases = [
+        [("Employee ID", 36.0, 72.0, 96.0, 82.0),   # internal space
+         ("77001", 260.0, 72.0, 290.0, 82.0)],
+        [("Tax\tCode", 36.0, 72.0, 80.0, 82.0),      # internal tab
+         ("FITW", 260.0, 72.0, 285.0, 82.0)],
+        [("Position  Title ", 36.0, 72.0, 110.0, 82.0),  # runs + trailing
+         ("Manager", 260.0, 72.0, 300.0, 82.0)],
+    ]
+    df = pd.DataFrame(
+        {"conv_id": "c", "turn_idx": range(len(cases)),
+         "text": [encode_pdf_envelope(w) for w in cases]}
+    )
+    golden = golden_frame(df)
+    got = extract_batch(df["text"])
+    _assert_frames_equal(golden, got)
+    # all three must classify as field lines (the 'fields' span label)
+    for i in range(len(cases)):
+        labels = [s[0] for s in got["spans"].iloc[i]]
+        assert "fields" in labels, (i, got["extracted_text"].iloc[i])
