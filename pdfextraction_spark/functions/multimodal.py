@@ -62,11 +62,17 @@ def encode_fake_blob(kind: str, seed: int, n_payload: int = 256) -> bytes:
     ).tobytes()
 
 
-def decode_image_real(data: bytes):
-    """Real decoder stub — NOT AVAILABLE in this container."""
+def decode_image_real(data: bytes) -> np.ndarray:
+    """Real image decode. PNG decodes natively (pure NumPy + zlib
+    codec, functions/png.py); other formats need an image library this
+    container doesn't ship."""
+    from .png import PNG_MAGIC, decode_png
+
+    if bytes(data[:8]) == PNG_MAGIC:
+        return decode_png(data)
     raise NotImplementedError(
-        "real image decode requires PIL/pillow (not installed here); "
-        "wire PIL.Image.open(io.BytesIO(data)) in this function"
+        "non-PNG image decode requires PIL/pillow (not installed "
+        "here); wire PIL.Image.open(io.BytesIO(data)) in this function"
     )
 
 
@@ -83,13 +89,24 @@ def _fake_pixel_stats(data: bytes) -> tuple:
 
 
 def image_features(media: DataFrame, num_partitions: int = 32) -> DataFrame:
-    """Decode(+stub) images and emit fixed-width features."""
+    """Decode images and emit fixed-width features: pixel mean/std and
+    a 64-bit average-hash. PNGs take the REAL decode path (pure-NumPy
+    codec); non-PNG blobs fall back to the deterministic byte-stat
+    fake so unsupported formats degrade instead of killing the batch."""
     ddl = ("media_id long, width int, height int, mean_byte double, "
            "std_byte double, phash long")
 
+    def _stats(data: bytes) -> tuple:
+        from .png import PNG_MAGIC, ahash64, decode_png
+
+        if bytes(data[:8]) == PNG_MAGIC:
+            px = decode_png(data).astype(np.float64)
+            return (float(px.mean()), float(px.std()), ahash64(px))
+        return _fake_pixel_stats(data)
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            stats = [_fake_pixel_stats(b) for b in pdf["data"]]
+            stats = [_stats(b) for b in pdf["data"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
@@ -159,27 +176,34 @@ def sample_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
 
 
 def gen_media_fixture(spark, n_items: int = 60, seed: int = 42) -> DataFrame:
-    """Deterministic media table fixture."""
+    """Deterministic media table fixture. Image blobs are REAL PNGs
+    (encoded by the pure-NumPy codec) so the decode path exercises
+    actual pixels; audio/video blobs stay deterministic fakes (no
+    codec in this container)."""
+    from .png import encode_png
+
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n_items):
         kind = kinds[i % 3]
-        rows.append(
-            (
-                i,
-                f"conv-{i % 7:06d}",
-                i % 5,
-                kind,
-                bytearray(encode_fake_blob(kind, seed * 10007 + i)),
-                (
-                    int(rng.integers(100, 2000)) if kind == "image" else None,
-                    int(rng.integers(100, 2000)) if kind == "image" else None,
-                    16000 if kind == "audio" else None,
-                    int(rng.integers(30, 300)) if kind == "video" else None,
-                    {"image": "fake_png", "audio": "fake_wav",
-                     "video": "fake_mp4"}[kind],
-                ),
+        if kind == "image":
+            w = int(rng.integers(12, 48))
+            h = int(rng.integers(12, 48))
+            ch = (1, 3, 4)[int(rng.integers(0, 3))]
+            px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            # structured content: a gradient band so ahash is non-trivial
+            px[: h // 2, :, 0] = np.linspace(0, 255, w, dtype=np.uint8)
+            blob = bytearray(encode_png(px))
+            meta = (w, h, None, None, "png")
+        else:
+            blob = bytearray(encode_fake_blob(kind, seed * 10007 + i))
+            meta = (
+                None,
+                None,
+                16000 if kind == "audio" else None,
+                int(rng.integers(30, 300)) if kind == "video" else None,
+                {"audio": "fake_wav", "video": "fake_mp4"}[kind],
             )
-        )
+        rows.append((i, f"conv-{i % 7:06d}", i % 5, kind, blob, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

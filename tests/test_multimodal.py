@@ -46,6 +46,111 @@ class TestMultimodal:
         assert not out.duplicated(["media_id", "frame_idx"]).any()
         assert out["frame_digest"].nunique() == len(out)
 
-    def test_real_decoder_is_marked_stub(self):
+    def test_real_decoder_png_and_stub_boundary(self):
+        import numpy as np
+
+        from pdfextraction_spark.functions.png import encode_png
+
+        img = np.arange(6 * 5 * 3, dtype=np.uint8).reshape(6, 5, 3)
+        out = M.decode_image_real(encode_png(img))
+        assert (out == img).all()
+        # non-PNG formats remain an honest stub
         with pytest.raises(NotImplementedError, match="PIL"):
-            M.decode_image_real(b"\x89PNG")
+            M.decode_image_real(b"\xff\xd8\xff\xe0jpeg-ish")
+
+    def test_image_features_real_pixels(self, media):
+        """image_features must report TRUE pixel statistics for the
+        PNG fixture blobs — decode the blobs independently here and
+        compare."""
+        import numpy as np
+
+        from pdfextraction_spark.functions.png import ahash64, decode_png
+
+        feats = {r.media_id: r for r in M.image_features(media).collect()}
+        imgs = media.filter("kind = 'image'").select("media_id", "data").collect()
+        assert len(imgs) == len(feats) > 0
+        for r in imgs:
+            px = decode_png(bytes(r.data)).astype(np.float64)
+            f = feats[r.media_id]
+            assert abs(f.mean_byte - px.mean()) < 1e-9
+            assert abs(f.std_byte - px.std()) < 1e-9
+            assert f.phash == ahash64(px)
+
+
+class TestPngCodec:
+    def test_roundtrip_all_channel_counts(self):
+        import numpy as np
+
+        from pdfextraction_spark.functions.png import decode_png, encode_png
+
+        rng = np.random.default_rng(3)
+        for ch in (1, 3, 4):
+            img = rng.integers(0, 256, size=(17, 11, ch), dtype=np.uint8)
+            assert (decode_png(encode_png(img)) == img).all()
+        grey2d = rng.integers(0, 256, size=(5, 9), dtype=np.uint8)
+        assert (decode_png(encode_png(grey2d))[:, :, 0] == grey2d).all()
+
+    def test_decode_all_scanline_filters(self):
+        """Hand-build an IDAT using every filter type (Sub/Up/Average/
+        Paeth) and check reconstruction against a reference
+        implementation of the spec."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from pdfextraction_spark.functions import png as P
+
+        rng = np.random.default_rng(11)
+        h, w, ch = 5, 7, 3
+        img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        flat = img.reshape(h, w * ch).astype(np.int16)
+        stride = w * ch
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+        raw = bytearray()
+        prev = np.zeros(stride, dtype=np.int16)
+        for y, ftype in enumerate([0, 1, 2, 3, 4]):
+            line = flat[y]
+            enc = np.zeros(stride, dtype=np.int16)
+            for i in range(stride):
+                a = int(line[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                if ftype == 0:
+                    enc[i] = line[i]
+                elif ftype == 1:
+                    enc[i] = line[i] - a
+                elif ftype == 2:
+                    enc[i] = line[i] - b
+                elif ftype == 3:
+                    enc[i] = line[i] - ((a + b) >> 1)
+                else:
+                    enc[i] = line[i] - paeth(a, b, c)
+            raw.append(ftype)
+            raw += (enc & 0xFF).astype(np.uint8).tobytes()
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        data = (P.PNG_MAGIC + P._chunk(b"IHDR", ihdr)
+                + P._chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + P._chunk(b"IEND", b""))
+        assert (P.decode_png(data) == img).all()
+
+    def test_ahash_properties(self):
+        import numpy as np
+
+        from pdfextraction_spark.functions.png import ahash64
+
+        img = np.zeros((32, 32), dtype=np.uint8)
+        img[:16] = 255  # top-half bright: known 32 high bits set
+        h = ahash64(img)
+        assert h != 0
+        # near-identical image -> identical hash; inverted -> differs
+        noisy = img.copy()
+        noisy[0, 0] ^= 3
+        assert ahash64(noisy) == h
+        assert ahash64(255 - img) != h
