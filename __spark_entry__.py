@@ -453,6 +453,19 @@ def q_merge_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_conversation_tables(extract_tables(_fixture_turns(spark, sf_dir)))
 
 
+def q_schema_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-2 field-schema normalization (openai_service.py:688-718):
+    three historical payload shapes -> one canonical serialized
+    schema, via pure from_json shape probing."""
+    from fixtures.golden import SCHEMA_SAMPLES
+    from pdfextraction_spark.functions.schema_norm import normalized_schema_str
+
+    df = spark.createDataFrame(SCHEMA_SAMPLES, "sample_id int, payload string")
+    return df.select(
+        "sample_id", normalized_schema_str(F.col("payload")).alias("normalized")
+    )
+
+
 def q_fence_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X16/X17 markdown-fence JSON extraction + repair
     (openai_service.py:115-220) over tool-output turns."""
@@ -560,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_schema": q_conv_schema,
         "classify_blocks": q_classify_blocks,
         "merge_tables": q_merge_tables,
+        "schema_norm": q_schema_norm,
         "fence_json": q_fence_json,
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
@@ -889,6 +903,10 @@ def _golden_oracle_sql() -> dict[str, str]:
             SELECT conv_id, headers, total_rows, source_turns,
                    rows_by_turn, spans_multiple_turns
             FROM read_parquet('{t("table_merge")}')
+        """,
+        "schema_norm": f"""
+            SELECT sample_id, normalized
+            FROM read_parquet('{t("schema_norm")}')
         """,
         "training_filter": f"""
             WITH feat AS (

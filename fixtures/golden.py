@@ -30,7 +30,7 @@ import pandas as pd
 
 from fixtures.generate import FIXTURE_VERSION, gen_transcripts, golden_frame
 
-GOLDEN_VERSION = 1
+GOLDEN_VERSION = 3  # v3: schema_norm samples extended
 
 SPAN_SEP = "|"
 US = "\x1f"
@@ -195,6 +195,42 @@ def _table_merge_golden(tables_golden: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+# step-2 schema payload samples (engine contract: values are strings
+# or null; names unique, no '='/',' in names). Shared input for the
+# Spark normalizer query and the loop-oracle golden.
+SCHEMA_SAMPLES = [
+    (0, '{"Employee Name": "Jane Q", "Emp Id": "77001"}'),
+    (1, '{"Status": null, "Department": "R&D"}'),
+    (2, '{}'),
+    (3, '["Employee Name", "Emp Id", "Hire Date"]'),
+    (4, '[]'),
+    (5, '[{"field_name": "Emp Id"}, {"field_name": "Status"}]'),
+    (6, '[{"field_name": "Emp Id", "estimated_value": "ignored"}]'),
+    (7, '[{"label": "Emp Id", "estimated_value": "77001"}, '
+        '{"label": "Status"}]'),
+    (8, '[{"label": "Pay Group", "estimated_value": null}]'),
+    (9, '"just a string"'),
+    (10, '42'),
+    (11, '{"Emp Id": "77001"'),     # malformed
+    (12, '[{"neither": "shape"}]'),  # objects without field_name/label
+    (13, '[1, 2]'),                  # array of non-strings
+    (14, '  [ "Spaced Name" ]'),     # leading whitespace
+]
+
+
+def _schema_norm_golden() -> pd.DataFrame:
+    from pdfextraction_spark.oracle.mergeops import (
+        normalized_schema_str_golden,
+    )
+
+    out = pd.DataFrame(
+        [(sid, normalized_schema_str_golden(p)) for sid, p in SCHEMA_SAMPLES],
+        columns=["sample_id", "normalized"],
+    )
+    out["sample_id"] = out["sample_id"].astype(np.int32)
+    return out
+
+
 def golden_dir(tier: str, cache_dir: str = "/tmp/pdfx_fixtures") -> str:
     return os.path.join(
         cache_dir, f"golden_{tier}_f{FIXTURE_VERSION}_g{GOLDEN_VERSION}"
@@ -221,6 +257,9 @@ def ensure_golden(tier: str, cache_dir: str = "/tmp/pdfx_fixtures") -> str:
     _fence_golden(df).to_parquet(os.path.join(tmp, "fence.parquet"), index=False)
     _table_merge_golden(tables).to_parquet(
         os.path.join(tmp, "table_merge.parquet"), index=False
+    )
+    _schema_norm_golden().to_parquet(
+        os.path.join(tmp, "schema_norm.parquet"), index=False
     )
     os.replace(tmp, path)
     return path

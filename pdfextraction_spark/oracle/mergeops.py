@@ -117,6 +117,45 @@ def merge_conversation_tables_golden(
     return out
 
 
+def normalize_form_fields_golden(payload_json: str) -> Dict[str, Optional[str]]:
+    """Loop mirror of the reference's step-2 schema normalization
+    (openai_service.py:688-718): three historical shapes -> one
+    canonical {field: value_or_null} dict; unknown shapes and
+    malformed JSON -> {} (the reference's fallthrough; it receives
+    pre-parsed objects, the engine receives JSON strings)."""
+    try:
+        form_fields = json.loads(payload_json)
+    except ValueError:
+        return {}
+    if isinstance(form_fields, dict):
+        return form_fields
+    if isinstance(form_fields, list):
+        if not form_fields:
+            return {}
+        if isinstance(form_fields[0], str):
+            return {name: None for name in form_fields}
+        if isinstance(form_fields[0], dict) and "field_name" in form_fields[0]:
+            return {
+                f.get("field_name", f"Field_{i}"): None
+                for i, f in enumerate(form_fields)
+            }
+        if isinstance(form_fields[0], dict) and "label" in form_fields[0]:
+            return {
+                f.get("label", f"Field_{i}"): f.get("estimated_value")
+                for i, f in enumerate(form_fields)
+            }
+    return {}
+
+
+def normalized_schema_str_golden(payload_json: str) -> str:
+    """Canonical serialization matching functions/schema_norm.py:
+    'k=v' sorted by key, null value -> 'k='."""
+    m = normalize_form_fields_golden(payload_json)
+    return ",".join(
+        f"{k}={'' if m[k] is None else m[k]}" for k in sorted(m)
+    )
+
+
 # ---------------------------------------------------------------------------
 # fenced-JSON tool-output parsing (X16/X17 golden)
 

@@ -66,3 +66,27 @@ class TestTokenFunctions:
         assert rows[1].ws == 0
         # fingerprint is whitespace-normalized: rows 0 and 2 collide
         assert rows[0].fp == rows[2].fp
+
+
+def test_schema_normalization_all_shapes(spark):
+    """Step-2 schema normalization: Spark column expression must equal
+    the loop mirror of openai_service.py:688-718 on every sample shape
+    (dict / name array / field_name objs / legacy label objs /
+    unknown / malformed)."""
+    from pyspark.sql import functions as F
+
+    from fixtures.golden import SCHEMA_SAMPLES
+    from pdfextraction_spark.functions.schema_norm import normalized_schema_str
+    from pdfextraction_spark.oracle.mergeops import normalized_schema_str_golden
+
+    df = spark.createDataFrame(SCHEMA_SAMPLES, "sample_id int, payload string")
+    got = {
+        r.sample_id: r.normalized
+        for r in df.select(
+            "sample_id", normalized_schema_str(F.col("payload")).alias("normalized")
+        ).collect()
+    }
+    for sid, payload in SCHEMA_SAMPLES:
+        assert got[sid] == normalized_schema_str_golden(payload), (sid, payload)
+    # spot-pin the legacy shape with values
+    assert got[7] == "Emp Id=77001,Status="
