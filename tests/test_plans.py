@@ -51,3 +51,41 @@ class TestPlans:
 
         plan = _plan(em.q_ann_topk(spark, "/root/testdata/sf0.001"))
         assert "BroadcastNestedLoopJoin" in plan
+
+    def test_table_merge_partial_aggs(self, spark, xs_parquet):
+        """Both merge levels must run map-side partial aggregation;
+        the second shuffle is tiny (one row per table per turn)."""
+        from pdfextraction_spark.operators.merge import merge_conversation_tables
+        from pdfextraction_spark.operators.tables import extract_tables
+
+        plan = _plan(
+            merge_conversation_tables(extract_tables(spark.read.parquet(xs_parquet)))
+        )
+        # 2 aggregation levels x (partial + final); collect_list is
+        # ObjectHashAggregate ("HashAggregate" matches both kinds)
+        assert plan.count("HashAggregate") == 4
+        assert plan.count("ObjectHashAggregate") == 2
+        # input scan reads only what the operator needs
+        assert "ReadSchema: struct<conv_id:string,turn_idx:int,text:string>" in plan
+
+    def test_classify_no_extra_exchange(self, spark, xs_parquet):
+        """classify_blocks: one exchange per extraction stage (the
+        salted repartition), one for the region-count aggregation, one
+        for the join co-partitioning — no more."""
+        from pdfextraction_spark.operators.classify import classify_blocks
+        from pdfextraction_spark.operators.tables import extract_tables
+        from pdfextraction_spark.pipeline import extract_dataframe
+
+        turns = spark.read.parquet(xs_parquet)
+        plan = _plan(classify_blocks(extract_dataframe(turns, 4),
+                                     extract_tables(turns)))
+        assert plan.count("Exchange") <= 5
+
+    def test_stoplist_broadcasts_only_hot_set(self, spark):
+        """ngram_jaccard: the (tiny) hot-shingle stoplist is broadcast;
+        corpus-sized tables (sizes, hot-set arrays) must NOT be."""
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_ngram_jaccard(spark, "/root/testdata/sf0.001"))
+        # anti-join + semi-join against the broadcast stoplist
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
