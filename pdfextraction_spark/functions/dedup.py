@@ -95,26 +95,38 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     is tiny by construction, so it rides a broadcast anti-join.
 
     The REPORTED Jaccard stays exact: per-pair intersection counts add
-    |hot_a ∩ hot_b| back from broadcast per-doc hot-shingle arrays, so
-    filtering only affects candidate GENERATION. Recall bound: a pair
-    sharing ONLY hot shingles is never considered — with a sane
-    max_df those pairs are boilerplate-dominated, not near-duplicates
-    (same stance as the reference corpora-dedup literature)."""
+    |hot_a ∩ hot_b| back from per-doc hot-shingle arrays, so filtering
+    only affects candidate GENERATION. Recall bound: a pair sharing
+    ONLY hot shingles is never considered — with a sane max_df those
+    pairs are boilerplate-dominated, not near-duplicates (same stance
+    as the reference corpora-dedup literature).
+
+    Shuffle keys are xxhash64(shingle) longs, never shingle strings —
+    the df-count, blocking join and hot-set arrays all move fixed-width
+    keys (collision policy: a 64-bit collision merges two shingles and
+    can inflate one intersection count by 1; P ~ s^2/2^65 corpus-wide,
+    same stance as exact_dedup)."""
     sh = with_shingles(df, text_col, id_col, n)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    hot = hot_shingles(df, text_col, id_col, n, max_shingle_df)
-    cold = ex.join(F.broadcast(hot), "sh", "left_anti")
+    ex = sh.select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).select("doc_id", F.xxhash64("sh").alias("h"))
+    hot = (
+        ex.groupBy("h").agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_shingle_df)
+        .select("h")
+    )
+    cold = ex.join(F.broadcast(hot), "h", "left_anti")
     # per-doc hot-shingle arrays: bounded by |hot set|, usually empty
     hot_sets = (
-        ex.join(F.broadcast(hot), "sh", "semi")
+        ex.join(F.broadcast(hot), "h", "semi")
         .groupBy("doc_id")
-        .agg(F.collect_list("sh").alias("hot_sh"))
+        .agg(F.collect_list("h").alias("hot_sh"))
     )
     a = cold.alias("a")
     b = cold.alias("b")
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+        a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count("*").alias("n_cold"))
@@ -123,7 +135,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
     ha = hot_sets.select(F.col("doc_id").alias("id_a"), F.col("hot_sh").alias("hot_a"))
     hb = hot_sets.select(F.col("doc_id").alias("id_b"), F.col("hot_sh").alias("hot_b"))
-    empty = F.array().cast("array<string>")
+    empty = F.array().cast("array<bigint>")
     n_inter = F.col("n_cold") + F.size(
         F.array_intersect(
             F.coalesce("hot_a", empty), F.coalesce("hot_b", empty)
@@ -309,25 +321,25 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.key")
     a, b = bucket_rows.alias("a"), bucket_rows.alias("b")
-    cand = (
+    # verify INSIDE the join output, before dedup: the Hamming filter
+    # is a cheap codegen'd expression and kills the (overwhelmingly
+    # far-pair) bucket collisions, so distinct() only sees survivors
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            "hamming",
         )
         .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
