@@ -276,3 +276,42 @@ def test_ngram_stoplist_skew_equivalence(spark):
         assert len(with_stop) == 30  # exactly the planted pairs
     finally:
         df.unpersist()
+
+
+@pytest.mark.slow
+def test_multiprobe_and_lloyd_improve_recall(emb):
+    """Multiprobe LSH must dominate single-probe recall; Lloyd-refined
+    IVF centroids must dominate seed-only centroids on the clustered
+    corpus (same candidates scored by the same exact scorer)."""
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = S.brute_force_topk(emb, queries, k=10).toPandas()
+
+    def mean_recall(approx):
+        rs = []
+        for q in range(10):
+            t = set(bf[bf.query_id == q].vec_id)
+            g = set(approx[approx.query_id == q].vec_id)
+            rs.append(len(t & g) / len(t))
+        return float(np.mean(rs))
+
+    single = mean_recall(
+        S.lsh_bucket_topk(emb, queries, k=10, bits=4, dim=32,
+                          multiprobe=False).toPandas())
+    multi = mean_recall(
+        S.lsh_bucket_topk(emb, queries, k=10, bits=4, dim=32,
+                          multiprobe=True).toPandas())
+    assert multi >= single
+    assert multi >= 0.8
+
+    seed_only = mean_recall(
+        S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4,
+                   lloyd_iters=0).toPandas())
+    refined = mean_recall(
+        S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4,
+                   lloyd_iters=2).toPandas())
+    assert refined >= seed_only - 0.05  # never materially worse
+    assert refined >= 0.7
