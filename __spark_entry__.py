@@ -304,6 +304,17 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=10)
 
 
+def q_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact form (the verifier path;
+    the LSH-blocked scale path is recall-tested against this in
+    pytest)."""
+    from pdfextraction_spark.functions.similarity import cosine_near_pairs
+
+    return cosine_near_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, blocked=False
+    )
+
+
 def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6/A7-style summary rollup with a shuffle join: revenue per
     nation-month (orders x customer, broadcast nation)."""
@@ -563,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_topk,
+        "cosine_near_pairs": q_cosine_near_pairs,
         "monthly_rollup": q_monthly_rollup,
         "extract_turns": q_extract_turns,
         "extract_metrics": q_extract_metrics,
@@ -781,6 +793,16 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
+        """,
+        "cosine_near_pairs": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         """,
         "monthly_rollup": """
             SELECT n_name AS nation, strftime(o_orderdate, '%Y-%m') AS month,

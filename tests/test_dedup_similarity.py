@@ -315,3 +315,21 @@ def test_multiprobe_and_lloyd_improve_recall(emb):
                    lloyd_iters=2).toPandas())
     assert refined >= seed_only - 0.05  # never materially worse
     assert refined >= 0.7
+
+
+@pytest.mark.slow
+def test_cosine_near_pairs_blocked_vs_exact(emb):
+    """LSH-blocked near-dup pairs: no false positives (exact verify),
+    high recall vs the exact all-pairs form on the clustered corpus,
+    identical cos_sim where both report."""
+    exact = S.cosine_near_pairs(emb, threshold=0.85, blocked=False,
+                                dim=32).toPandas()
+    blocked = S.cosine_near_pairs(emb, threshold=0.85, blocked=True,
+                                  bits=6, dim=32).toPandas()
+    t = set(zip(exact.id_a, exact.id_b))
+    g = set(zip(blocked.id_a, blocked.id_b))
+    assert t, "clustered fixture must contain near pairs"
+    assert g <= t  # exact verify -> no false positives
+    assert len(g) / len(t) >= 0.8
+    merged = exact.merge(blocked, on=["id_a", "id_b"], suffixes=("_t", "_g"))
+    assert (merged["cos_sim_t"] == merged["cos_sim_g"]).all()
