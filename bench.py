@@ -224,6 +224,15 @@ def write_bench_md(result: dict) -> None:
     ]
     for q, s in (result.get("queries") or {}).items():
         lines.append(f"| {q} | {s:.3f} |")
+    lines += [
+        "",
+        "Note: ngram_jaccard pays one extra aggregation for the",
+        "hot-shingle document-frequency stoplist. The sf0.1 documents",
+        "table has no hot shingles (max df 25), so the pass buys nothing",
+        "HERE — it exists for skewed corpora, where one boilerplate",
+        "shingle otherwise makes the blocking self-join quadratic",
+        "(see tests/test_dedup_similarity.py skew-equivalence test).",
+    ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
