@@ -50,8 +50,11 @@ def _pairs_from_text(turn_idx: int, text: str) -> Iterable[Tuple[str, str, int]]
         for part in line.split(CLUSTER_SEP):
             if ":\t" not in part:
                 continue
-            field, _, value = part.partition(":\t")
-            if value == EMPTY_SENTINEL or not value.strip():
+            # match the batch operator exactly: field = before FIRST
+            # separator, value = after LAST; trim ASCII spaces only
+            field = part.split(":\t", 1)[0]
+            value = part.rsplit(":\t", 1)[-1]
+            if value == EMPTY_SENTINEL or not value.strip(" "):
                 continue
             yield field, value, turn_idx
 
@@ -99,6 +102,70 @@ def streaming_conversation_merge(extracted_stream: DataFrame) -> DataFrame:
         .applyInPandasWithState(
             merge_state_fn,
             outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+TABLE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("headers", StringType()),
+        StructField("total_rows", LongType()),
+        StructField("source_turns", StringType()),
+        StructField("rows_by_turn", StringType()),
+        StructField("spans_multiple_turns", BooleanType()),
+    ]
+)
+
+
+def table_state_fn(
+    key: Tuple[str, str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming counterpart of operators/merge.merge_conversation_tables
+    (result_merger.py:122-163): per (conversation, table identity =
+    headers signature), accumulate row counts by source turn."""
+    conv_id, headers = key
+    by_turn: dict[str, int] = (
+        json.loads(state.get[0]) if state.exists else {}
+    )
+    for pdf in pdfs:
+        for turn_idx in pdf["turn_idx"]:
+            t = str(int(turn_idx))
+            by_turn[t] = by_turn.get(t, 0) + 1
+    state.update((json.dumps(by_turn),))
+    turns_sorted = sorted(by_turn, key=int)
+    yield pd.DataFrame(
+        {
+            "conv_id": [conv_id],
+            "headers": [headers],
+            "total_rows": pd.array([sum(by_turn.values())], dtype="int64"),
+            "source_turns": [",".join(turns_sorted)],
+            "rows_by_turn": [",".join(f"{t}:{by_turn[t]}" for t in turns_sorted)],
+            "spans_multiple_turns": [len(by_turn) > 1],
+        }
+    )
+
+
+def streaming_table_merge(tables_stream: DataFrame) -> DataFrame:
+    """Apply the stateful table accumulation to a STREAMING
+    extract_tables frame (one input row per table row). Batch jobs use
+    operators/merge.merge_conversation_tables; outputs agree row-for-row
+    once a stream is drained (pinned in tests)."""
+    from pyspark.sql import functions as F
+
+    return (
+        tables_stream.select(
+            "conv_id",
+            F.array_join("headers", "\x1f").alias("headers"),
+            "turn_idx",
+        )
+        .groupBy("conv_id", "headers")
+        .applyInPandasWithState(
+            table_state_fn,
+            outputStructType=TABLE_OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,

@@ -142,3 +142,53 @@ def test_watermarked_windowed_metrics(spark, xs_parquet, tmp_path):
         assert agg[kind] == n, kind
     # windows are aligned 5-minute buckets
     assert ((got["window_end"] - got["window_start"]).dt.total_seconds() == 300).all()
+
+
+@pytest.mark.slow
+def test_stateful_streaming_table_merge_matches_batch(spark, xs_parquet, tmp_path):
+    """applyInPandasWithState table accumulation: final state after the
+    stream drains must equal merge_conversation_tables on the same
+    input."""
+    from pyspark.sql import Window, functions as F
+
+    from pdfextraction_spark.operators.merge import merge_conversation_tables
+    from pdfextraction_spark.operators.tables import extract_tables
+    from pdfextraction_spark.schema import TRANSCRIPTS_SCHEMA
+    from pdfextraction_spark.streaming.stateful import streaming_table_merge
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copy(xs_parquet, os.path.join(src, "part-0.parquet"))
+    ckpt = str(tmp_path / "ckpt3")
+
+    stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(src)
+    q = (
+        streaming_table_merge(extract_tables(stream))
+        .writeStream.format("memory")
+        .queryName("tables_tbl")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = (
+        merge_conversation_tables(extract_tables(spark.read.parquet(xs_parquet)))
+        .orderBy("conv_id", "headers")
+        .toPandas()
+    )
+    streamed = (
+        spark.table("tables_tbl")
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("conv_id", "headers")
+            .orderBy(F.desc("total_rows"))))
+        .filter("rn = 1")
+        .drop("rn")
+        .orderBy("conv_id", "headers")
+        .toPandas()
+    )
+    assert len(streamed) == len(batch) > 0
+    for col in ("conv_id", "headers", "total_rows", "source_turns",
+                "rows_by_turn", "spans_multiple_turns"):
+        assert list(streamed[col]) == list(batch[col]), col
