@@ -131,3 +131,94 @@ def test_merge_tables_pinned_multi_turn(spark, tmp_path):
     assert c2.total_rows == 2
     assert c2.source_turns == "0"
     assert not bool(c2.spans_multiple_turns)
+
+
+def test_merge_fields_fuzz_vs_golden(spark):
+    """Randomized extracted_text (fields with ties, [EMPTY], repeated
+    values, multi-separator parts, space-only values): Spark merge must
+    equal the loop mirror exactly."""
+    import numpy as np
+
+    from pdfextraction_spark.operators.merge import merge_conversation_fields
+    from pdfextraction_spark.oracle.mergeops import (
+        merge_conversation_fields_golden,
+    )
+
+    rng = np.random.default_rng(2024)
+    fields = ["Emp Id", "Status", "Pay Group", "Dept", "Notes", "A:\tB"]
+    values = ["12345", "A", "ACTIVE1", "12345678", "[EMPTY]", " ", "",
+              "x:\ty", "same", "same", "longer value here"]
+    rows = []
+    for ci in range(40):
+        for ti in range(int(rng.integers(1, 6))):
+            lines = []
+            for _ in range(int(rng.integers(0, 4))):
+                parts = []
+                for _ in range(int(rng.integers(1, 3))):
+                    f = fields[rng.integers(0, len(fields))]
+                    v = values[rng.integers(0, len(values))]
+                    parts.append(f"{f}:\t{v}")
+                lines.append("    ".join(parts))
+            rows.append((f"c{ci:03d}", ti, "\n".join(lines)))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, extracted_text string"
+    )
+    got = {
+        (r.conv_id, r.field): (r.value, r.source_turn,
+                               r.conflict_detected, r.n_occurrences)
+        for r in merge_conversation_fields(df).collect()
+    }
+    exp = {
+        (m["conv_id"], m["field"]): (m["value"], m["source_turn"],
+                                     m["conflict_detected"], m["n_occurrences"])
+        for m in merge_conversation_fields_golden(rows)
+    }
+    assert got == exp
+    assert len(got) > 50  # fuzz actually generated work
+
+
+def test_schema_norm_fuzz_vs_golden(spark):
+    """Randomized well-formed payloads of all four shapes (plus junk):
+    Spark normalizer == loop mirror."""
+    import json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pdfextraction_spark.functions.schema_norm import normalized_schema_str
+    from pdfextraction_spark.oracle.mergeops import normalized_schema_str_golden
+
+    rng = np.random.default_rng(7)
+    names = [f"Field {i}" for i in range(30)]
+
+    def rand_payload():
+        shape = rng.integers(0, 6)
+        ns = list(rng.choice(names, size=int(rng.integers(0, 5)),
+                             replace=False))
+        if shape == 0:
+            return json.dumps({n: (None if rng.random() < 0.3 else f"v{i}")
+                               for i, n in enumerate(ns)})
+        if shape == 1:
+            return json.dumps(ns)
+        if shape == 2:
+            return json.dumps([{"field_name": n} for n in ns])
+        if shape == 3:
+            return json.dumps([
+                {"label": n} if rng.random() < 0.4
+                else {"label": n, "estimated_value": f"v{i}"}
+                for i, n in enumerate(ns)
+            ])
+        if shape == 4:
+            return json.dumps(int(rng.integers(0, 100)))
+        return '{"broken": '  # malformed
+    samples = [(i, rand_payload()) for i in range(300)]
+    df = spark.createDataFrame(samples, "sample_id int, payload string")
+    got = {
+        r.sample_id: r.normalized
+        for r in df.select(
+            "sample_id",
+            normalized_schema_str(F.col("payload")).alias("normalized"),
+        ).collect()
+    }
+    for sid, payload in samples:
+        assert got[sid] == normalized_schema_str_golden(payload), (sid, payload)
