@@ -445,14 +445,12 @@ def q_conv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_classify_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Step-1 structure classification (openai_service.py:256-283,
     prompts.py:14-40) made deterministic: form/table/mixed per
-    decodable pdf_layout turn from field-line + table-region evidence."""
-    from pdfextraction_spark.operators.classify import classify_blocks
-    from pdfextraction_spark.operators.tables import extract_tables
-    from pdfextraction_spark.pipeline import extract_dataframe
+    decodable pdf_layout turn from field-line + table-region evidence.
+    Uses the fused single-pass form (one decode per envelope, no join);
+    pinned equal to the compositional classify_blocks in tests."""
+    from pdfextraction_spark.operators.classify import classify_turns
 
-    turns = _fixture_turns(spark, sf_dir)
-    ex = extract_dataframe(turns, num_partitions=8)
-    return classify_blocks(ex, extract_tables(turns))
+    return classify_turns(_fixture_turns(spark, sf_dir))
 
 
 def q_merge_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
