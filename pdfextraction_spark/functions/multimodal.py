@@ -4,14 +4,19 @@ Media travel as opaque ``binary`` columns with a typed metadata
 struct; all per-item work runs in Arrow-batched ``mapInPandas`` stages
 (one pandas frame per Arrow batch — never row-at-a-time Python UDFs).
 
-This container has no image/audio codecs, so the DECODE step is
-stubbed (SURVEY/task contract): ``decode_image_real`` raises
-``NotImplementedError`` with the dependency it would use, and the
-default path is a **deterministic fake decoder** keyed off the fixture
-blob header, so the Spark-side plumbing — schema, partitioning, UDF
-signatures, batch shapes, explode of sampled frames — is real and
-fully tested. Swapping in PIL/libsndfile/ffmpeg touches only the
-``*_real`` functions.
+Decode status by modality:
+
+- **image**: REAL for PNG via the dependency-free pure-NumPy codec
+  (functions/png.py); other formats raise NotImplementedError naming
+  the library they need (PIL).
+- **audio**: REAL for PCM WAV via stdlib ``wave``; other formats raise
+  NotImplementedError (libsndfile/ffmpeg).
+- **video**: no container format is implementable without codecs, so
+  frame sampling uses a deterministic fake frame digest; the
+  explode/batch plumbing is real.
+
+Unsupported blobs inside a supported operator degrade to
+deterministic byte-stats rather than killing the Arrow batch.
 
 Scale notes: media blobs dominate bytes, so operators repartition by
 ``xxhash64(media_id)`` (uniform, no conv skew) and column-prune before
@@ -177,9 +182,9 @@ def sample_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
 
 def gen_media_fixture(spark, n_items: int = 60, seed: int = 42) -> DataFrame:
     """Deterministic media table fixture. Image blobs are REAL PNGs
-    (encoded by the pure-NumPy codec) so the decode path exercises
-    actual pixels; audio/video blobs stay deterministic fakes (no
-    codec in this container)."""
+    (pure-NumPy codec) and audio blobs are REAL PCM WAVs (stdlib
+    wave), so both decode paths exercise actual samples; video blobs
+    stay deterministic fakes (no video codec exists here)."""
     from .png import encode_png
 
     rng = np.random.default_rng(seed)
@@ -187,6 +192,18 @@ def gen_media_fixture(spark, n_items: int = 60, seed: int = 42) -> DataFrame:
     kinds = ["image", "audio", "video"]
     for i in range(n_items):
         kind = kinds[i % 3]
+        if kind == "audio":
+            n = int(rng.integers(800, 4000))
+            t = np.arange(n, dtype=np.float64)
+            freq = float(rng.uniform(0.01, 0.2))
+            samples = (
+                10000 * np.sin(2 * np.pi * freq * t)
+                + rng.integers(-500, 500, size=n)
+            ).astype(np.int16)
+            blob = bytearray(encode_wav(samples, 16000))
+            meta = (None, None, 16000, None, "wav")
+            rows.append((i, f"conv-{i % 7:06d}", i % 5, kind, blob, meta))
+            continue
         if kind == "image":
             w = int(rng.integers(12, 48))
             h = int(rng.integers(12, 48))
@@ -207,3 +224,88 @@ def gen_media_fixture(spark, n_items: int = 60, seed: int = 42) -> DataFrame:
             )
         rows.append((i, f"conv-{i % 7:06d}", i % 5, kind, blob, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio: real PCM WAV path (stdlib `wave` — no external codec needed)
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode int16 mono samples as a PCM WAV blob (stdlib wave)."""
+    import io
+    import wave
+
+    arr = np.asarray(samples, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def decode_audio_real(data: bytes):
+    """Real audio decode: PCM WAV via stdlib wave. Returns
+    (samples int16[n], sample_rate). Non-WAV formats need codecs this
+    container doesn't ship."""
+    import io
+    import wave
+
+    if bytes(data[:4]) != b"RIFF":
+        raise NotImplementedError(
+            "non-WAV audio decode requires libsndfile/ffmpeg (not "
+            "installed here); wire soundfile.read(io.BytesIO(data))"
+        )
+    with wave.open(io.BytesIO(bytes(data)), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM supported")
+        frames = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+        if w.getnchannels() > 1:
+            frames = frames.reshape(-1, w.getnchannels()).mean(axis=1)
+            frames = frames.astype(np.int16)
+        return frames, w.getframerate()
+
+
+def audio_features(media: DataFrame, num_partitions: int = 32) -> DataFrame:
+    """Decode audio and emit fixed-width features: duration, RMS
+    level, zero-crossing rate, peak amplitude. WAV blobs take the
+    REAL decode path; other formats fall back to deterministic
+    byte-stats (degrade, don't die)."""
+    ddl = ("media_id long, sample_rate int, duration_sec double, "
+           "rms double, zcr double, peak int")
+
+    def _stats(data: bytes) -> tuple:
+        if bytes(data[:4]) == b"RIFF":
+            s, rate = decode_audio_real(data)
+            f = s.astype(np.float64)
+            zc = np.count_nonzero(np.signbit(f[1:]) != np.signbit(f[:-1]))
+            return (
+                rate,
+                len(s) / rate if rate else 0.0,
+                float(np.sqrt((f ** 2).mean())) if len(f) else 0.0,
+                zc / max(len(s) - 1, 1),
+                int(np.abs(s).max()) if len(s) else 0,
+            )
+        m, sd, _ = _fake_pixel_stats(data)
+        return (0, 0.0, m, sd / 255.0, 0)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [_stats(b) for b in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "sample_rate": pd.array([s[0] for s in stats], dtype="int32"),
+                    "duration_sec": np.asarray([s[1] for s in stats]),
+                    "rms": np.asarray([s[2] for s in stats]),
+                    "zcr": np.asarray([s[3] for s in stats]),
+                    "peak": pd.array([s[4] for s in stats], dtype="int32"),
+                }
+            )
+
+    pruned = (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "data")
+        .repartition(num_partitions, F.xxhash64("media_id"))
+    )
+    return pruned.mapInPandas(fn, ddl)

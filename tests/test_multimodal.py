@@ -154,3 +154,35 @@ class TestPngCodec:
         noisy[0, 0] ^= 3
         assert ahash64(noisy) == h
         assert ahash64(255 - img) != h
+
+
+@pytest.mark.slow
+class TestAudio:
+    def test_wav_roundtrip(self):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        samples = rng.integers(-30000, 30000, size=1234, dtype=np.int16)
+        back, rate = M.decode_audio_real(M.encode_wav(samples, 22050))
+        assert rate == 22050
+        assert (back == samples).all()
+        with pytest.raises(NotImplementedError, match="libsndfile|ffmpeg"):
+            M.decode_audio_real(b"\xffmp3-ish-not-riff")
+
+    def test_audio_features_real_samples(self, media):
+        """audio_features must report TRUE sample statistics for the
+        WAV fixture blobs — decode independently and compare."""
+        import numpy as np
+
+        feats = {r.media_id: r for r in M.audio_features(media).collect()}
+        auds = media.filter("kind = 'audio'").select("media_id", "data").collect()
+        assert len(auds) == len(feats) > 0
+        for r in auds:
+            s, rate = M.decode_audio_real(bytes(r.data))
+            f = feats[r.media_id]
+            assert f.sample_rate == rate == 16000
+            assert abs(f.duration_sec - len(s) / rate) < 1e-9
+            fl = s.astype(np.float64)
+            assert abs(f.rms - np.sqrt((fl ** 2).mean())) < 1e-6
+            assert f.peak == int(np.abs(s).max())
+            assert 0.0 < f.zcr < 1.0  # sine + noise crosses zero
