@@ -55,8 +55,12 @@ HEADLINE = [
     "ngram_jaccard",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "cosine_near_pairs",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "extract_tables",
+    "classify_blocks",
+    "merge_tables",
 ]
 
 

@@ -94,9 +94,21 @@ def cosine_near_pairs(
 
     ``blocked=False``: exact all-pairs cross join — the verifier and
     the small-N path; O(n^2), never run this on a corpus."""
+    # compute each vector's norm ONCE: the pair expression is then a
+    # dot product and one division — recomputing both norms per pair
+    # would triple the flops on an O(pairs) expression
     e = embeddings.select(
-        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
-    )
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("n", _norm(F.col("v")))
+
+    def pair_cos(a, b):
+        return F.round(
+            _dot(F.col(f"{a}.v"), F.col(f"{b}.v"))
+            / (F.col(f"{a}.n") * F.col(f"{b}.n")),
+            6,
+        )
+
     if not blocked:
         a, b = e.alias("a"), e.alias("b")
         return (
@@ -105,7 +117,7 @@ def cosine_near_pairs(
             .select(
                 F.col("a.vec_id").alias("id_a"),
                 F.col("b.vec_id").alias("id_b"),
-                F.round(cosine_sim(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+                pair_cos("a", "b").alias("cos_sim"),
             )
             .filter(F.col("cos_sim") >= threshold)
         )
@@ -122,17 +134,24 @@ def cosine_near_pairs(
     pb = eb.select(
         F.col("vec_id").alias("id_b"),
         F.col("v").alias("v_b"),
+        F.col("n").alias("n_b"),
         F.explode(probe_list).alias("bucket"),
     )
     pa = eb.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"), "bucket"
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.col("n").alias("n_a"),
+        "bucket",
     )
     return (
         pa.join(pb, (pa.bucket == pb.bucket) & (F.col("id_a") < F.col("id_b")))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_sim(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
