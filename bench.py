@@ -171,7 +171,36 @@ def run_scaling(parquet: str, pair=SCALE_PAIR) -> dict:
     return res
 
 
-def write_bench_md(result: dict) -> None:
+def _update_history(result: dict) -> list:
+    """Append this run to BENCH_HISTORY.json (committed) — the headline
+    is only meaningful across runs on this noisy host, so BENCH.md
+    renders every recorded run, not just the latest."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_HISTORY.json")
+    hist = []
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                hist = json.load(f)
+        except ValueError:
+            hist = []
+    sc = result.get("scaling") or {}
+    hist.append(
+        {
+            "at": time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime()),
+            "headline_tps": result.get("value"),
+            "range": result.get("value_range"),
+            "unique_text_tps": result.get("unique_text_tps"),
+            "efficiency": (sc or {}).get("efficiency"),
+        }
+    )
+    hist = hist[-20:]
+    with open(path, "w") as f:
+        json.dump(hist, f, indent=1)
+    return hist
+
+
+def write_bench_md(result: dict, history: list | None = None) -> None:
     sc = result.get("scaling") or {}
     lo, hi = sc.get("pair", SCALE_PAIR)
     rng = result.get("value_range") or []
@@ -228,6 +257,28 @@ def write_bench_md(result: dict) -> None:
     ]
     for q, s in (result.get("queries") or {}).items():
         lines.append(f"| {q} | {s:.3f} |")
+    if history:
+        meds = sorted(h["headline_tps"] for h in history
+                      if h.get("headline_tps"))
+        lines += [
+            "",
+            "## Run history (medians; host noise makes any single run",
+            "unrepresentative — the across-run median is the fair claim)",
+            "",
+            f"**Across-run median headline: "
+            f"{meds[len(meds) // 2]:,.0f} turns/s** over {len(meds)} runs.",
+            "",
+            "| when | headline tps (median) | run range | unique-text tps | efficiency |",
+            "| --- | --- | --- | --- | --- |",
+        ]
+        for h in history:
+            rng2 = h.get("range") or ["?", "?"]
+            lines.append(
+                f"| {h.get('at', '?')} | {h.get('headline_tps', 0):,.0f} "
+                f"| {rng2[0]:,.0f}-{rng2[1]:,.0f} "
+                f"| {h.get('unique_text_tps') or 0:,.0f} "
+                f"| {h.get('efficiency', '?')} |"
+            )
     lines += [
         "",
         "Note: ngram_jaccard pays one extra aggregation for the",
@@ -318,7 +369,8 @@ def main() -> None:
         ),
     }
     if scaling:
-        write_bench_md({**result, "scaling": scaling})
+        history = _update_history(result)
+        write_bench_md({**result, "scaling": scaling}, history)
     print(json.dumps(result))
 
 
