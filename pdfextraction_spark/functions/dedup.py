@@ -123,12 +123,30 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .groupBy("doc_id")
         .agg(F.collect_list("h").alias("hot_sh"))
     )
-    a = cold.alias("a")
-    b = cold.alias("b")
+    # posting-list pair enumeration: ONE shuffle groups cold
+    # occurrences per shingle; candidate pairs come from nested array
+    # transforms over the (stoplist-bounded, <= max_shingle_df-long)
+    # posting list — JVM codegen, no self-join double shuffle. Per-row
+    # memory is O(df^2) structs, which is exactly what the stoplist
+    # threshold caps (keep max_shingle_df <= ~10k).
+    posts = (
+        cold.groupBy("h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    docs = F.col("docs")
+    pair_structs = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + 2, F.size(docs)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.h") == F.col("b.h"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        posts.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("n_cold"))
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
