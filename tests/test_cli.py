@@ -1,0 +1,67 @@
+"""spark-submit packaging + CLI surface: the package zip must be
+importable the way --py-files ships it, and the extract subcommand
+must run the resumable job end-to-end from a fresh process."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_package_zip_importable(tmp_path):
+    out = str(tmp_path / "pdfx.zip")
+    r = subprocess.run(
+        [sys.executable, "-m", "pdfextraction_spark.cli", "package",
+         "--out", out],
+        cwd=REPO, capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(out)
+    # import through the zip exactly as --py-files would expose it
+    probe = (
+        "import sys; sys.path.insert(0, %r); "
+        "import pdfextraction_spark, pdfextraction_spark.kernels.extract, "
+        "fixtures.generate; print(pdfextraction_spark.__name__)"
+    ) % out
+    r2 = subprocess.run(
+        [sys.executable, "-c", probe],
+        capture_output=True, text=True, timeout=120,
+        cwd=str(tmp_path),  # NOT the repo: the zip must be self-sufficient
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert r2.stdout.strip() == "pdfextraction_spark"
+
+
+@pytest.mark.slow
+def test_cli_extract_end_to_end(xs_parquet, tmp_path):
+    out = str(tmp_path / "out")
+    mf = str(tmp_path / "mf")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, "-m", "pdfextraction_spark.cli", "extract",
+         "--input", xs_parquet, "--output", out, "--manifest", mf,
+         "--master", "local[4]", "--num-partitions", "4", "--chunks", "2"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["partitions_processed"] == 4
+    assert summary["rows_written"] > 0
+    assert os.path.isdir(out) and os.path.isdir(mf)
+    # a second invocation resumes to a no-op
+    r2 = subprocess.run(
+        [sys.executable, "-m", "pdfextraction_spark.cli", "extract",
+         "--input", xs_parquet, "--output", out, "--manifest", mf,
+         "--master", "local[4]", "--num-partitions", "4", "--chunks", "2"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    summary2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert summary2["partitions_done_before"] == 4
+    assert summary2["partitions_processed"] == 0
+    assert summary2["rows_written"] == 0
