@@ -462,6 +462,29 @@ def q_merge_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_conversation_tables(extract_tables(_fixture_turns(spark, sf_dir)))
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image path: real PNG decode -> pixel stats +
+    average-hash over the deterministic media fixture; golden computed
+    by decoding the same blobs without Spark."""
+    from pdfextraction_spark.functions.multimodal import (
+        gen_media_fixture,
+        image_features,
+    )
+
+    return image_features(gen_media_fixture(spark), num_partitions=8)
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio path: real PCM-WAV decode -> duration/RMS/ZCR/
+    peak over the deterministic media fixture."""
+    from pdfextraction_spark.functions.multimodal import (
+        audio_features,
+        gen_media_fixture,
+    )
+
+    return audio_features(gen_media_fixture(spark), num_partitions=8)
+
+
 def q_schema_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Step-2 field-schema normalization (openai_service.py:688-718):
     three historical payload shapes -> one canonical serialized
@@ -584,6 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_blocks": q_classify_blocks,
         "merge_tables": q_merge_tables,
         "schema_norm": q_schema_norm,
+        "image_features": q_image_features,
+        "audio_features": q_audio_features,
         "fence_json": q_fence_json,
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
@@ -927,6 +952,14 @@ def _golden_oracle_sql() -> dict[str, str]:
         "schema_norm": f"""
             SELECT sample_id, normalized
             FROM read_parquet('{t("schema_norm")}')
+        """,
+        "image_features": f"""
+            SELECT media_id, width, height, mean_byte, std_byte, phash
+            FROM read_parquet('{t("image_features")}')
+        """,
+        "audio_features": f"""
+            SELECT media_id, sample_rate, duration_sec, rms, zcr, peak
+            FROM read_parquet('{t("audio_features")}')
         """,
         "training_filter": f"""
             WITH feat AS (

@@ -30,7 +30,7 @@ import pandas as pd
 
 from fixtures.generate import FIXTURE_VERSION, gen_transcripts, golden_frame
 
-GOLDEN_VERSION = 3  # v3: schema_norm samples extended
+GOLDEN_VERSION = 4  # v4: + multimodal feature goldens
 
 SPAN_SEP = "|"
 US = "\x1f"
@@ -231,6 +231,53 @@ def _schema_norm_golden() -> pd.DataFrame:
     return out
 
 
+def _media_golden():
+    """Golden multimodal features: decode every fixture blob with the
+    codecs directly (no Spark, no operator code paths) and recompute
+    the feature formulas inline. Returns (image_df, audio_df)."""
+    from pdfextraction_spark.functions.multimodal import (
+        decode_audio_real,
+        gen_media_rows,
+    )
+    from pdfextraction_spark.functions.png import ahash64, decode_png
+
+    img_rows, aud_rows = [], []
+    for media_id, _conv, _turn, kind, blob, meta in gen_media_rows():
+        if kind == "image":
+            px = decode_png(bytes(blob)).astype(np.float64)
+            img_rows.append(
+                (media_id, meta[0], meta[1], float(px.mean()),
+                 float(px.std()), ahash64(px))
+            )
+        elif kind == "audio":
+            s, rate = decode_audio_real(bytes(blob))
+            f = s.astype(np.float64)
+            zc = int(np.count_nonzero(np.signbit(f[1:]) != np.signbit(f[:-1])))
+            aud_rows.append(
+                (media_id, rate, len(s) / rate,
+                 float(np.sqrt((f ** 2).mean())),
+                 zc / max(len(s) - 1, 1), int(np.abs(s).max()))
+            )
+    img = pd.DataFrame(
+        img_rows,
+        columns=["media_id", "width", "height", "mean_byte", "std_byte",
+                 "phash"],
+    )
+    img["media_id"] = img["media_id"].astype(np.int64)
+    img["width"] = img["width"].astype(np.int32)
+    img["height"] = img["height"].astype(np.int32)
+    img["phash"] = img["phash"].astype(np.int64)
+    aud = pd.DataFrame(
+        aud_rows,
+        columns=["media_id", "sample_rate", "duration_sec", "rms", "zcr",
+                 "peak"],
+    )
+    aud["media_id"] = aud["media_id"].astype(np.int64)
+    aud["sample_rate"] = aud["sample_rate"].astype(np.int32)
+    aud["peak"] = aud["peak"].astype(np.int32)
+    return img, aud
+
+
 def golden_dir(tier: str, cache_dir: str = "/tmp/pdfx_fixtures") -> str:
     return os.path.join(
         cache_dir, f"golden_{tier}_f{FIXTURE_VERSION}_g{GOLDEN_VERSION}"
@@ -261,5 +308,8 @@ def ensure_golden(tier: str, cache_dir: str = "/tmp/pdfx_fixtures") -> str:
     _schema_norm_golden().to_parquet(
         os.path.join(tmp, "schema_norm.parquet"), index=False
     )
+    img, aud = _media_golden()
+    img.to_parquet(os.path.join(tmp, "image_features.parquet"), index=False)
+    aud.to_parquet(os.path.join(tmp, "audio_features.parquet"), index=False)
     os.replace(tmp, path)
     return path

@@ -135,19 +135,60 @@ def image_features(media: DataFrame, num_partitions: int = 32) -> DataFrame:
     return pruned.mapInPandas(fn, ddl)
 
 
-def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
-    """Resize plan: new dims computed JVM-side (pure column math); the
-    pixel resample itself is the stubbed decode step, so the output
-    carries the original blob + target dims (real impl would re-encode
-    in the same mapInPandas stage)."""
+def _nn_resize(px: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Nearest-neighbor resample (deterministic, pure NumPy)."""
+    h, w = px.shape[:2]
+    yi = np.minimum((np.arange(new_h) * h) // max(new_h, 1), h - 1)
+    xi = np.minimum((np.arange(new_w) * w) // max(new_w, 1), w - 1)
+    return px[yi][:, xi]
+
+
+def resize_images(media: DataFrame, max_side: int = 256,
+                  num_partitions: int = 32) -> DataFrame:
+    """Resize: target dims computed JVM-side (pure column math);
+    PNG blobs are REALLY decoded, nearest-neighbor resampled, and
+    re-encoded inside the mapInPandas stage. Non-PNG blobs pass
+    through with resized=false (degrade, don't die)."""
+    ddl = ("media_id long, new_width int, new_height int, "
+           "resized boolean, data binary")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png import PNG_MAGIC, decode_png, encode_png
+
+        for pdf in batches:
+            out_data, resized = [], []
+            for data, nw, nh in zip(pdf["data"], pdf["new_width"],
+                                    pdf["new_height"]):
+                if bytes(data[:8]) == PNG_MAGIC:
+                    px = decode_png(data)
+                    out_data.append(encode_png(_nn_resize(px, int(nw), int(nh))))
+                    resized.append(True)
+                else:
+                    out_data.append(bytes(data))
+                    resized.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "new_width": pdf["new_width"].to_numpy(),
+                    "new_height": pdf["new_height"].to_numpy(),
+                    "resized": resized,
+                    "data": out_data,
+                }
+            )
+
     w, h = F.col("meta.width"), F.col("meta.height")
     scale = F.least(F.lit(1.0), F.lit(max_side) / F.greatest(w, h))
-    return media.filter(F.col("kind") == "image").select(
-        "media_id",
-        "data",
-        F.round(w * scale).cast("int").alias("new_width"),
-        F.round(h * scale).cast("int").alias("new_height"),
+    planned = (
+        media.filter(F.col("kind") == "image")
+        .select(
+            "media_id",
+            "data",
+            F.greatest(F.round(w * scale).cast("int"), F.lit(1)).alias("new_width"),
+            F.greatest(F.round(h * scale).cast("int"), F.lit(1)).alias("new_height"),
+        )
+        .repartition(num_partitions, F.xxhash64("media_id"))
     )
+    return planned.mapInPandas(fn, ddl)
 
 
 def sample_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
@@ -180,11 +221,11 @@ def sample_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
     return pruned.mapInPandas(fn, ddl)
 
 
-def gen_media_fixture(spark, n_items: int = 60, seed: int = 42) -> DataFrame:
-    """Deterministic media table fixture. Image blobs are REAL PNGs
-    (pure-NumPy codec) and audio blobs are REAL PCM WAVs (stdlib
-    wave), so both decode paths exercise actual samples; video blobs
-    stay deterministic fakes (no video codec exists here)."""
+def gen_media_rows(n_items: int = 60, seed: int = 42) -> list:
+    """Deterministic media fixture rows (no Spark). Image blobs are
+    REAL PNGs (pure-NumPy codec) and audio blobs are REAL PCM WAVs
+    (stdlib wave), so both decode paths exercise actual samples; video
+    blobs stay deterministic fakes (no video codec exists here)."""
     from .png import encode_png
 
     rng = np.random.default_rng(seed)
@@ -223,7 +264,11 @@ def gen_media_fixture(spark, n_items: int = 60, seed: int = 42) -> DataFrame:
                 {"audio": "fake_wav", "video": "fake_mp4"}[kind],
             )
         rows.append((i, f"conv-{i % 7:06d}", i % 5, kind, blob, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def gen_media_fixture(spark, n_items: int = 60, seed: int = 42) -> DataFrame:
+    return spark.createDataFrame(gen_media_rows(n_items, seed), MEDIA_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -29,11 +29,26 @@ class TestMultimodal:
         assert [r.phash for r in a] == [r.phash for r in b]
         assert all(0 <= r.mean_byte <= 255 for r in a)
 
-    def test_resize_plan(self, media):
-        out = M.resize_images(media, max_side=256).collect()
-        for r in out:
-            assert max(r.new_width, r.new_height) <= 256
+    def test_resize_real_pixels(self, media):
+        """Resize really resamples: output blobs decode to the target
+        dims and match an independent nearest-neighbor resample."""
+        import numpy as np
+
+        from pdfextraction_spark.functions.png import decode_png
+
+        out = {r.media_id: r for r in M.resize_images(media, max_side=24).collect()}
+        src = media.filter("kind = 'image'").select("media_id", "data").collect()
+        assert len(out) == len(src) > 0
+        for s in src:
+            r = out[s.media_id]
+            assert max(r.new_width, r.new_height) <= 24
             assert min(r.new_width, r.new_height) >= 1
+            assert r.resized
+            px = decode_png(bytes(r.data))
+            assert px.shape[:2] == (r.new_height, r.new_width)
+            exp = M._nn_resize(decode_png(bytes(s.data)),
+                               r.new_width, r.new_height)
+            assert (px == exp).all()
 
     def test_frame_sampling_counts(self, media):
         out = M.sample_frames(media, every_k=10).toPandas()
