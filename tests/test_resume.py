@@ -116,3 +116,29 @@ def test_resume_after_crash_inside_commit_window(spark, s_parquet, tmp_path):
     mf = spark.read.parquet(mf_b).toPandas()
     assert mf["row_count"].sum() == len(b)
     assert mf["commit_id"].notna().all()
+
+
+@pytest.mark.slow
+def test_changed_input_invalidates_checkpoints(spark, tmp_path):
+    """Resume is keyed by the input SNAPSHOT: if the input table
+    changes, committed partitions from the old snapshot must NOT be
+    skipped (the north rule's lineage gate)."""
+    import time
+
+    src = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    mf = str(tmp_path / "mf")
+    write_transcripts_parquet(src, "xs")
+    s1 = run_extraction_job(spark, src, out, mf, num_partitions=4, n_chunks=2)
+    assert s1["partitions_processed"] == 4
+
+    # same input -> full skip
+    s2 = run_extraction_job(spark, src, out, mf, num_partitions=4, n_chunks=2)
+    assert s2["partitions_processed"] == 0
+
+    # changed input (more turns -> different size/mtime) -> new snapshot
+    time.sleep(1.1)  # mtime resolution guard
+    write_transcripts_parquet(src, "xs", total_turns=260)
+    s3 = run_extraction_job(spark, src, out, mf, num_partitions=4, n_chunks=2)
+    assert s3["source_snapshot_id"] != s1["source_snapshot_id"]
+    assert s3["partitions_processed"] == 4  # nothing wrongly skipped
