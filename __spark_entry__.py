@@ -267,6 +267,21 @@ def q_trigram_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003 rolling-hash
+    selection) per document — the substring-match-guaranteeing
+    fingerprint family, alongside the whole-doc hash."""
+    from pdfextraction_spark.functions.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(F.col("text"), k=8, window=4)
+    return docs.select(
+        "doc_id",
+        F.array_join(fps, ",").alias("fingerprints"),
+        F.size(fps).cast("long").alias("n_fps"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via hash-groupBy on normalized text."""
     from pdfextraction_spark.functions.dedup import exact_dedup
@@ -593,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_band_join": q_range_band_join,
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
+        "winnow_fingerprints": q_winnow,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_topk,
         "cosine_near_pairs": q_cosine_near_pairs,
@@ -776,6 +792,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "winnow_fingerprints": """
+            WITH g AS (
+              SELECT doc_id, lower(text) AS t,
+                     length(text) - 7 AS n_g
+              FROM documents
+            ), sel AS (
+              SELECT doc_id,
+                CASE WHEN n_g <= 0 THEN []
+                     WHEN n_g <= 4 THEN
+                       [list_min([substring(md5(substring(t, i, 8)), 1, 16)
+                                  for i in generate_series(1, n_g)])]
+                     ELSE
+                       [list_min([substring(md5(substring(t, i, 8)), 1, 16)
+                                  for i in generate_series(j, j + 3)])
+                        for j in generate_series(1, n_g - 3)]
+                END AS fps
+              FROM g
+            )
+            SELECT doc_id,
+                   array_to_string(list_sort(list_distinct(fps)), ',') AS fingerprints,
+                   CAST(len(list_distinct(fps)) AS BIGINT) AS n_fps
+            FROM sel
         """,
         "ngram_jaccard": """
             WITH toks AS (

@@ -134,3 +134,37 @@ def fingerprint64(col: Column) -> Column:
     Used for exact-dup detection at scale (shuffle key, not content
     compare)."""
     return F.xxhash64(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def winnow_fingerprints(col: Column, k: int = 8, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003): hash every character k-gram, then keep the minimum
+    hash of each sliding window of ``window`` consecutive k-grams.
+    Guarantees every match of length >= window+k-1 shares a selected
+    fingerprint while keeping ~2/(window+1) of the grams.
+
+    Pure column expressions (transform over index sequences — one
+    codegen stage, no UDF). Hashes via md5-prefix so the identical
+    expression runs on any SQL engine (the DuckDB oracle mirrors it
+    verbatim); swap xxhash64 for production Spark-only speed.
+    Returns a sorted array of distinct selected fingerprints."""
+    low = F.lower(col)
+    n_grams = F.length(low) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.substring(
+            F.md5(F.encode(low.substr(i, F.lit(k)), "UTF-8")), 1, 16
+        ),
+    )
+    selected = F.when(n_grams <= 0, F.array().cast("array<string>")).otherwise(
+        F.when(
+            n_grams <= window,
+            F.array(F.array_min(grams)),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n_grams - (window - 1)),
+                lambda j: F.array_min(F.slice(grams, j, window)),
+            )
+        )
+    )
+    return F.array_sort(F.array_distinct(selected))

@@ -90,3 +90,39 @@ def test_schema_normalization_all_shapes(spark):
         assert got[sid] == normalized_schema_str_golden(payload), (sid, payload)
     # spot-pin the legacy shape with values
     assert got[7] == "Emp Id=77001,Status="
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing property (Schleimer et al.): two documents sharing a
+    substring of length >= window + k - 1 share at least one selected
+    fingerprint; fingerprints of unrelated random texts differ."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pdfextraction_spark.functions.text import winnow_fingerprints
+
+    rng = np.random.default_rng(31)
+
+    def rand_text(n):
+        return "".join(chr(97 + int(c)) for c in rng.integers(0, 26, size=n))
+
+    shared = rand_text(40)  # >= window+k-1 = 11
+    rows = [
+        (0, rand_text(60) + shared + rand_text(60)),
+        (1, rand_text(80) + shared + rand_text(40)),
+        (2, rand_text(150)),
+        (3, "short"),   # < k: no grams
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text"), k=8, window=4).alias("fps")
+        ).collect()
+    }
+    assert fps[0] & fps[1], "shared substring must share a fingerprint"
+    assert not (fps[0] & fps[2] & fps[1] & fps[3])
+    assert fps[3] == set() and fps[4] == set()
+    # selection actually compresses: far fewer fingerprints than grams
+    assert 0 < len(fps[2]) < 150 - 7
