@@ -56,6 +56,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "cosine_near_pairs",
+    "winnow_fingerprints",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "extract_tables",
