@@ -258,16 +258,18 @@ def write_bench_md(result: dict, history: list | None = None) -> None:
     ]
     for q, s in (result.get("queries") or {}).items():
         lines.append(f"| {q} | {s:.3f} |")
-    if history:
-        meds = sorted(h["headline_tps"] for h in history
-                      if h.get("headline_tps"))
+    meds = sorted(h["headline_tps"] for h in (history or [])
+                  if h.get("headline_tps"))
+    if meds:
+        import statistics
+
         lines += [
             "",
             "## Run history (medians; host noise makes any single run",
             "unrepresentative — the across-run median is the fair claim)",
             "",
             f"**Across-run median headline: "
-            f"{meds[len(meds) // 2]:,.0f} turns/s** over {len(meds)} runs.",
+            f"{statistics.median(meds):,.0f} turns/s** over {len(meds)} runs.",
             "",
             "| when | headline tps (median) | run range | unique-text tps | efficiency |",
             "| --- | --- | --- | --- | --- |",

@@ -30,7 +30,7 @@ import pandas as pd
 
 from fixtures.generate import FIXTURE_VERSION, gen_transcripts, golden_frame
 
-GOLDEN_VERSION = 4  # v4: + multimodal feature goldens
+GOLDEN_VERSION = 5  # v5: schema_norm null-name samples
 
 SPAN_SEP = "|"
 US = "\x1f"
@@ -215,6 +215,8 @@ SCHEMA_SAMPLES = [
     (12, '[{"neither": "shape"}]'),  # objects without field_name/label
     (13, '[1, 2]'),                  # array of non-strings
     (14, '  [ "Spaced Name" ]'),     # leading whitespace
+    (15, '[{"field_name": null, "label": "Emp Id"}]'),  # null name -> label shape
+    (16, '[{"field_name": "A"}, {"field_name": null}]'),  # null mid-array -> Field_i
 ]
 
 
@@ -292,8 +294,12 @@ def ensure_golden(tier: str, cache_dir: str = "/tmp/pdfx_fixtures") -> str:
     if os.path.exists(path):
         return path
     os.makedirs(cache_dir, exist_ok=True)
-    tmp = path + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
+    # private build dir per process: two concurrent builders (driver's
+    # oracle_sql() + pytest) must never interleave writes; the loser of
+    # the final rename just discards its copy
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix=os.path.basename(path) + ".", dir=cache_dir)
     df = gen_transcripts(tier)
     turns = _turns_golden(df)
     turns.to_parquet(os.path.join(tmp, "turns.parquet"), index=False)
@@ -311,5 +317,15 @@ def ensure_golden(tier: str, cache_dir: str = "/tmp/pdfx_fixtures") -> str:
     img, aud = _media_golden()
     img.to_parquet(os.path.join(tmp, "image_features.parquet"), index=False)
     aud.to_parquet(os.path.join(tmp, "audio_features.parquet"), index=False)
-    os.replace(tmp, path)
+    try:
+        os.replace(tmp, path)
+    except OSError:
+        # a concurrent builder won the rename: its output is complete
+        # and version-identical — drop ours
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
     return path

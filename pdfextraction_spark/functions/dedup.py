@@ -111,10 +111,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     ex = sh.select(
         "doc_id", F.explode("shingles").alias("sh")
     ).select("doc_id", F.xxhash64("sh").alias("h"))
-    hot = (
-        ex.groupBy("h").agg(F.count("*").alias("df"))
-        .filter(F.col("df") > max_shingle_df)
-        .select("h")
+    # ONE stoplist definition (hot_shingles), hashed for the joins —
+    # keep the threshold semantics in a single home
+    hot = hot_shingles(df, text_col, id_col, n, max_shingle_df).select(
+        F.xxhash64("sh").alias("h")
     )
     cold = ex.join(F.broadcast(hot), "h", "left_anti")
     # per-doc hot-shingle arrays: bounded by |hot set|, usually empty

@@ -105,8 +105,11 @@ def image_features(media: DataFrame, num_partitions: int = 32) -> DataFrame:
         from .png import PNG_MAGIC, ahash64, decode_png
 
         if bytes(data[:8]) == PNG_MAGIC:
-            px = decode_png(data).astype(np.float64)
-            return (float(px.mean()), float(px.std()), ahash64(px))
+            try:
+                px = decode_png(data).astype(np.float64)
+                return (float(px.mean()), float(px.std()), ahash64(px))
+            except Exception:  # unsupported variant / corrupt stream
+                pass  # degrade to byte stats, never kill the batch
         return _fake_pixel_stats(data)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -160,12 +163,17 @@ def resize_images(media: DataFrame, max_side: int = 256,
             for data, nw, nh in zip(pdf["data"], pdf["new_width"],
                                     pdf["new_height"]):
                 if bytes(data[:8]) == PNG_MAGIC:
-                    px = decode_png(data)
-                    out_data.append(encode_png(_nn_resize(px, int(nw), int(nh))))
-                    resized.append(True)
-                else:
-                    out_data.append(bytes(data))
-                    resized.append(False)
+                    try:
+                        px = decode_png(data)
+                        out_data.append(
+                            encode_png(_nn_resize(px, int(nw), int(nh)))
+                        )
+                        resized.append(True)
+                        continue
+                    except Exception:  # unsupported variant / corrupt
+                        pass
+                out_data.append(bytes(data))
+                resized.append(False)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
@@ -321,16 +329,19 @@ def audio_features(media: DataFrame, num_partitions: int = 32) -> DataFrame:
 
     def _stats(data: bytes) -> tuple:
         if bytes(data[:4]) == b"RIFF":
-            s, rate = decode_audio_real(data)
-            f = s.astype(np.float64)
-            zc = np.count_nonzero(np.signbit(f[1:]) != np.signbit(f[:-1]))
-            return (
-                rate,
-                len(s) / rate if rate else 0.0,
-                float(np.sqrt((f ** 2).mean())) if len(f) else 0.0,
-                zc / max(len(s) - 1, 1),
-                int(np.abs(s).max()) if len(s) else 0,
-            )
+            try:
+                s, rate = decode_audio_real(data)
+                f = s.astype(np.float64)
+                zc = np.count_nonzero(np.signbit(f[1:]) != np.signbit(f[:-1]))
+                return (
+                    rate,
+                    len(s) / rate if rate else 0.0,
+                    float(np.sqrt((f ** 2).mean())) if len(f) else 0.0,
+                    zc / max(len(s) - 1, 1),
+                    int(np.abs(s).max()) if len(s) else 0,
+                )
+            except Exception:  # RIFF but not PCM16 WAV (WEBP/AVI/8-bit)
+                pass  # degrade to byte stats, never kill the batch
         m, sd, _ = _fake_pixel_stats(data)
         return (0, 0.0, m, sd / 255.0, 0)
 

@@ -134,14 +134,22 @@ def normalize_form_fields_golden(payload_json: str) -> Dict[str, Optional[str]]:
             return {}
         if isinstance(form_fields[0], str):
             return {name: None for name in form_fields}
-        if isinstance(form_fields[0], dict) and "field_name" in form_fields[0]:
+        # engine contract divergence from the reference: a JSON-null
+        # field_name/label counts as ABSENT (the reference's `in` test
+        # treats present-null as present and can produce a None dict
+        # key, which a Spark map cannot represent)
+        if (isinstance(form_fields[0], dict)
+                and form_fields[0].get("field_name") is not None):
             return {
-                f.get("field_name", f"Field_{i}"): None
+                (f.get("field_name") if f.get("field_name") is not None
+                 else f"Field_{i}"): None
                 for i, f in enumerate(form_fields)
             }
-        if isinstance(form_fields[0], dict) and "label" in form_fields[0]:
+        if (isinstance(form_fields[0], dict)
+                and form_fields[0].get("label") is not None):
             return {
-                f.get("label", f"Field_{i}"): f.get("estimated_value")
+                (f.get("label") if f.get("label") is not None
+                 else f"Field_{i}"): f.get("estimated_value")
                 for i, f in enumerate(form_fields)
             }
     return {}

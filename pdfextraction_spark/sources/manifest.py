@@ -62,13 +62,20 @@ def committed_partitions(
     return {r.partition_id for r in rows}
 
 
-def committed_commit_ids(spark: SparkSession, manifest_path: str) -> Set[str]:
-    """All commit_ids with at least one manifest row (any run/snapshot)."""
+def committed_commit_ids(spark: SparkSession, manifest_path: str):
+    """All commit_ids with at least one manifest row (any run/snapshot).
+
+    Returns ``None`` when the manifest predates the commit_id column
+    (column absent, or any row carries a null) — in that state the
+    manifest cannot say which output commits are covered, so callers
+    must NOT treat on-disk commits as orphans."""
     mf = read_manifest(spark, manifest_path)
     if "commit_id" not in mf.columns:
-        return set()
-    return {r.commit_id for r in mf.select("commit_id").distinct().collect()
-            if r.commit_id is not None}
+        return None
+    ids = {r.commit_id for r in mf.select("commit_id").distinct().collect()}
+    if None in ids:
+        return None
+    return ids
 
 
 def reconcile_orphan_commits(spark: SparkSession, output_path: str,
@@ -97,6 +104,11 @@ def reconcile_orphan_commits(spark: SparkSession, output_path: str,
     if not on_disk:
         return []
     committed = committed_commit_ids(spark, manifest_path)
+    if committed is None:
+        # legacy manifest without commit_id rows: it cannot attest
+        # which commits it covers — deleting here would destroy
+        # previously committed output. Leave everything in place.
+        return []
     orphans = sorted(set(on_disk) - committed)
     for cid in orphans:
         shutil.rmtree(on_disk[cid])

@@ -201,3 +201,30 @@ class TestAudio:
             assert abs(f.rms - np.sqrt((fl ** 2).mean())) < 1e-6
             assert f.peak == int(np.abs(s).max())
             assert 0.0 < f.zcr < 1.0  # sine + noise crosses zero
+
+
+@pytest.mark.slow
+def test_undecodable_blobs_degrade_not_die(spark):
+    """Magic-sniffed blobs the codecs can't decode (corrupt PNG,
+    RIFF-but-WEBP, 8-bit WAV) must fall back to byte stats instead of
+    killing the Arrow batch (code-review r2)."""
+    import numpy as np
+
+    from pdfextraction_spark.functions.png import PNG_MAGIC
+
+    corrupt_png = PNG_MAGIC + b"\x00" * 64
+    webp_ish = b"RIFF\x24\x00\x00\x00WEBPVP8 " + b"\x00" * 32
+    rows = [
+        (100, "c", 0, "image", bytearray(corrupt_png),
+         (10, 10, None, None, "png")),
+        (101, "c", 0, "audio", bytearray(webp_ish),
+         (None, None, 16000, None, "webp")),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    img = M.image_features(media, num_partitions=2).collect()
+    assert len(img) == 1 and img[0].media_id == 100  # survived, fake stats
+    aud = M.audio_features(media, num_partitions=2).collect()
+    assert len(aud) == 1 and aud[0].media_id == 101
+    assert aud[0].sample_rate == 0  # fallback marker
+    rs = M.resize_images(media, max_side=8).collect()
+    assert len(rs) == 1 and not rs[0].resized

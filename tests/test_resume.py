@@ -142,3 +142,54 @@ def test_changed_input_invalidates_checkpoints(spark, tmp_path):
     s3 = run_extraction_job(spark, src, out, mf, num_partitions=4, n_chunks=2)
     assert s3["source_snapshot_id"] != s1["source_snapshot_id"]
     assert s3["partitions_processed"] == 4  # nothing wrongly skipped
+
+
+def test_legacy_manifest_never_reconciled_away(spark, tmp_path):
+    """A manifest written before the commit_id column existed cannot
+    attest which commits it covers — reconciliation must refuse to
+    delete ANY output in that state (code-review r2: silent data
+    loss)."""
+    import os
+
+    from pdfextraction_spark.sources.manifest import (
+        committed_commit_ids,
+        reconcile_orphan_commits,
+    )
+
+    out = str(tmp_path / "out")
+    for cid in ("run-0000", "run-0001"):
+        d = os.path.join(out, f"commit_id={cid}")
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "wb") as f:
+            f.write(b"x")
+
+    # legacy manifest: no commit_id column at all
+    mf_legacy = str(tmp_path / "mf_legacy")
+    spark.createDataFrame(
+        [("r1", "snap", 0, 10)],
+        "run_id string, source_snapshot_id string, partition_id int, row_count long",
+    ).write.parquet(mf_legacy)
+    assert committed_commit_ids(spark, mf_legacy) is None
+    assert reconcile_orphan_commits(spark, out, mf_legacy) == []
+    assert sorted(os.listdir(out)) == ["commit_id=run-0000", "commit_id=run-0001"]
+
+    # mixed manifest: commit_id column present but a legacy null row
+    mf_mixed = str(tmp_path / "mf_mixed")
+    spark.createDataFrame(
+        [("r1", None, "snap", 0, 10), ("r2", "run-0000", "snap", 1, 10)],
+        "run_id string, commit_id string, source_snapshot_id string, "
+        "partition_id int, row_count long",
+    ).write.parquet(mf_mixed)
+    assert committed_commit_ids(spark, mf_mixed) is None
+    assert reconcile_orphan_commits(spark, out, mf_mixed) == []
+    assert len(os.listdir(out)) == 2
+
+    # fully-attributed manifest: the true orphan (and only it) goes
+    mf_new = str(tmp_path / "mf_new")
+    spark.createDataFrame(
+        [("r1", "run-0000", "snap", 0, 10)],
+        "run_id string, commit_id string, source_snapshot_id string, "
+        "partition_id int, row_count long",
+    ).write.parquet(mf_new)
+    assert reconcile_orphan_commits(spark, out, mf_new) == ["run-0001"]
+    assert os.listdir(out) == ["commit_id=run-0000"]
