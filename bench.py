@@ -144,8 +144,12 @@ def run_scaling(parquet: str, pair=SCALE_PAIR) -> dict:
     walls = {lo: [], hi: []}
     n_turns = None
     # interleave the two configs to cancel temporal noisy-neighbor
-    # drift; pool timed walls per config and take the median
-    for cores in (lo, hi, lo, hi):
+    # drift; pool timed walls per config and take the min. More rounds
+    # = better immunity to a CPU-steal burst sitting on one config's
+    # windows (observed: a single noisy local[hi] window once dragged
+    # measured efficiency from ~0.85 to 0.67)
+    n_rounds = int(os.environ.get("PDFX_SCALE_ROUNDS", "3"))
+    for cores in (lo, hi) * n_rounds:
         out_path = f"/tmp/pdfx_bench_{cores}.json"
         subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--extract-worker",
@@ -263,6 +267,14 @@ def write_bench_md(result: dict, history: list | None = None) -> None:
     if meds:
         import statistics
 
+        effs = sorted(h["efficiency"] for h in history
+                      if h.get("efficiency") is not None)
+        eff_line = (
+            f"**Across-run median scaling efficiency: "
+            f"{statistics.median(effs):.3f}** over {len(effs)} runs "
+            f"(range {effs[0]:.3f}-{effs[-1]:.3f})."
+            if effs else ""
+        )
         lines += [
             "",
             "## Run history (medians; host noise makes any single run",
@@ -270,6 +282,7 @@ def write_bench_md(result: dict, history: list | None = None) -> None:
             "",
             f"**Across-run median headline: "
             f"{statistics.median(meds):,.0f} turns/s** over {len(meds)} runs.",
+            eff_line,
             "",
             "| when | headline tps (median) | run range | unique-text tps | efficiency |",
             "| --- | --- | --- | --- | --- |",
