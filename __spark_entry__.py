@@ -468,6 +468,22 @@ def q_classify_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify_turns(_fixture_turns(spark, sf_dir))
 
 
+def q_final_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final per-conversation JSON assembly
+    (result_merger.py:168-210 create_final_json_output): fields +
+    tables + processing summary, byte-reproducible serialization."""
+    from pdfextraction_spark.operators.assemble import (
+        assemble_conversation_json,
+    )
+    from pdfextraction_spark.operators.tables import extract_tables
+    from pdfextraction_spark.pipeline import extract_dataframe
+
+    turns = _fixture_turns(spark, sf_dir)
+    return assemble_conversation_json(
+        extract_dataframe(turns, num_partitions=8), extract_tables(turns)
+    )
+
+
 def q_merge_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 cross-turn table accumulation with source metadata
     (result_merger.py:122-163)."""
@@ -622,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_schema": q_conv_schema,
         "classify_blocks": q_classify_blocks,
         "merge_tables": q_merge_tables,
+        "final_json": q_final_json,
         "schema_norm": q_schema_norm,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
@@ -991,6 +1008,10 @@ def _golden_oracle_sql() -> dict[str, str]:
         "schema_norm": f"""
             SELECT sample_id, normalized
             FROM read_parquet('{t("schema_norm")}')
+        """,
+        "final_json": f"""
+            SELECT conv_id, final_json
+            FROM read_parquet('{t("final_json")}')
         """,
         "image_features": f"""
             SELECT media_id, width, height, mean_byte, std_byte, phash

@@ -30,7 +30,7 @@ import pandas as pd
 
 from fixtures.generate import FIXTURE_VERSION, gen_transcripts, golden_frame
 
-GOLDEN_VERSION = 5  # v5: schema_norm null-name samples
+GOLDEN_VERSION = 6  # v6: + final_json golden
 
 SPAN_SEP = "|"
 US = "\x1f"
@@ -233,6 +233,60 @@ def _schema_norm_golden() -> pd.DataFrame:
     return out
 
 
+def _final_json_golden(turns_golden: pd.DataFrame,
+                       tables_golden: pd.DataFrame,
+                       merge_golden: pd.DataFrame) -> pd.DataFrame:
+    """Golden per-conversation final JSON (result_merger.py:168-210),
+    assembled in plain Python with the same canonical ordering as the
+    Spark operator (sorted field names; tables by headers signature;
+    rows by (turn, table, row))."""
+    import json
+
+    fields_by_conv: dict = {}
+    for r in merge_golden.itertuples():
+        fields_by_conv.setdefault(r.conv_id, {})[r.field] = r.value
+    tables_by_conv: dict = {}
+    for r in tables_golden.itertuples():
+        cells = [None if c == NUL else c for c in r.cells.split(US)]
+        key = (r.conv_id, r.headers)
+        tables_by_conv.setdefault(key, []).append(
+            (int(r.turn_idx), int(r.table_idx), int(r.row_idx), cells)
+        )
+    rows = []
+    for conv_id, grp in turns_golden.groupby("conv_id", sort=True):
+        total_turns = int(len(grp))
+        failed = int(grp["parse_failed"].sum())
+        fields = dict(sorted(fields_by_conv.get(conv_id, {}).items()))
+        tables = []
+        sigs = sorted(h for (c, h) in tables_by_conv if c == conv_id)
+        for h in sigs:
+            trows = sorted(tables_by_conv[(conv_id, h)])
+            tables.append(
+                {
+                    "headers": h.split(US),
+                    "data": [t[3] for t in trows],
+                    "total_rows": len(trows),
+                }
+            )
+        obj = {
+            "extracted_fields": fields,
+            "extracted_tables": tables,
+            "processing_summary": {
+                "total_fields": len(fields),
+                "total_tables": len(tables),
+                "total_table_rows": sum(t["total_rows"] for t in tables),
+                "total_turns": total_turns,
+                "successful_turns": total_turns - failed,
+                "failed_turns": failed,
+            },
+        }
+        rows.append(
+            (conv_id, json.dumps(obj, separators=(",", ":"),
+                                 ensure_ascii=False))
+        )
+    return pd.DataFrame(rows, columns=["conv_id", "final_json"])
+
+
 def _media_golden():
     """Golden multimodal features: decode every fixture blob with the
     codecs directly (no Spark, no operator code paths) and recompute
@@ -306,7 +360,11 @@ def ensure_golden(tier: str, cache_dir: str = "/tmp/pdfx_fixtures") -> str:
     tables = _tables_golden(df)
     tables.to_parquet(os.path.join(tmp, "tables.parquet"), index=False)
     _spacing_golden(df).to_parquet(os.path.join(tmp, "spacing.parquet"), index=False)
-    _merge_golden(turns).to_parquet(os.path.join(tmp, "merge.parquet"), index=False)
+    merge = _merge_golden(turns)
+    merge.to_parquet(os.path.join(tmp, "merge.parquet"), index=False)
+    _final_json_golden(turns, tables, merge).to_parquet(
+        os.path.join(tmp, "final_json.parquet"), index=False
+    )
     _fence_golden(df).to_parquet(os.path.join(tmp, "fence.parquet"), index=False)
     _table_merge_golden(tables).to_parquet(
         os.path.join(tmp, "table_merge.parquet"), index=False
