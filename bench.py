@@ -148,7 +148,7 @@ def run_scaling(parquet: str, pair=SCALE_PAIR) -> dict:
     # = better immunity to a CPU-steal burst sitting on one config's
     # windows (observed: a single noisy local[hi] window once dragged
     # measured efficiency from ~0.85 to 0.67)
-    n_rounds = int(os.environ.get("PDFX_SCALE_ROUNDS", "3"))
+    n_rounds = max(1, int(os.environ.get("PDFX_SCALE_ROUNDS", "3")))
     for cores in (lo, hi) * n_rounds:
         out_path = f"/tmp/pdfx_bench_{cores}.json"
         subprocess.run(

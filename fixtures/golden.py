@@ -241,6 +241,7 @@ def _final_json_golden(turns_golden: pd.DataFrame,
     Spark operator (sorted field names; tables by headers signature;
     rows by (turn, table, row))."""
     import json
+    import re
 
     fields_by_conv: dict = {}
     for r in merge_golden.itertuples():
@@ -280,10 +281,14 @@ def _final_json_golden(turns_golden: pd.DataFrame,
                 "failed_turns": failed,
             },
         }
-        rows.append(
-            (conv_id, json.dumps(obj, separators=(",", ":"),
-                                 ensure_ascii=False))
+        s = json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
+        # Jackson (Spark to_json) writes control-char escapes with
+        # UPPERCASE hex (\\u001F); json.dumps writes lowercase —
+        # normalize so byte equality holds for control-char payloads
+        s = re.sub(
+            r"\\u00([0-9a-f]{2})", lambda m: "\\u00" + m.group(1).upper(), s
         )
+        rows.append((conv_id, s))
     return pd.DataFrame(rows, columns=["conv_id", "final_json"])
 
 

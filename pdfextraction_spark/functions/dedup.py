@@ -64,19 +64,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
-def _hot_shingle_hashes(df: DataFrame, text_col: str, id_col: str,
-                        n: int, max_df: int) -> DataFrame:
+def _hot_shingle_hashes(ex_hashed: DataFrame, max_df: int) -> DataFrame:
     """THE stoplist definition (single home for the threshold
-    semantics): xxhash64 of every shingle whose document frequency
+    semantics): the hashes in ``ex_hashed`` (one row per (doc,
+    shingle) occurrence, column ``h``) whose document frequency
     exceeds ``max_df``. Hash-keyed throughout — the df-count shuffles
     fixed-width longs, never shingle strings. One column ``h``;
     globally small by construction (the tail can't exceed
     corpus_shingles / max_df entries), so it broadcasts."""
-    sh = with_shingles(df, text_col, id_col, n)
     return (
-        sh.select(F.explode("shingles").alias("sh"))
-        .select(F.xxhash64("sh").alias("h"))
-        .groupBy("h")
+        ex_hashed.groupBy("h")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > max_df)
         .select("h")
@@ -88,16 +85,16 @@ def hot_shingles(df: DataFrame, text_col: str = "text",
                  max_df: int = 1000) -> DataFrame:
     """Diagnostic view of the stoplist: the actual shingle STRINGS
     whose document frequency exceeds ``max_df`` (boilerplate headers,
-    license blurbs, templated sentences). Derives from the hashed
-    stoplist (_hot_shingle_hashes) so there is exactly one threshold
-    definition; one column ``sh``."""
+    license blurbs, templated sentences). Shingles the corpus ONCE,
+    derives the threshold set from the shared hashed definition
+    (_hot_shingle_hashes); one column ``sh``."""
     sh = with_shingles(df, text_col, id_col, n)
-    ex = sh.select(F.explode("shingles").alias("sh"))
-    hot = _hot_shingle_hashes(df, text_col, id_col, n, max_df)
+    ex = sh.select(F.explode("shingles").alias("sh")).withColumn(
+        "h", F.xxhash64("sh")
+    )
+    hot = _hot_shingle_hashes(ex.select("h"), max_df)
     return (
-        ex.join(F.broadcast(hot), F.xxhash64("sh") == F.col("h"), "semi")
-        .select("sh")
-        .distinct()
+        ex.join(F.broadcast(hot), "h", "semi").select("sh").distinct()
     )
 
 
@@ -130,7 +127,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     ex = sh.select(
         "doc_id", F.explode("shingles").alias("sh")
     ).select("doc_id", F.xxhash64("sh").alias("h"))
-    hot = _hot_shingle_hashes(df, text_col, id_col, n, max_shingle_df)
+    hot = _hot_shingle_hashes(ex.select("h"), max_shingle_df)
     cold = ex.join(F.broadcast(hot), "h", "left_anti")
     # per-doc hot-shingle arrays: bounded by |hot set|, usually empty
     hot_sets = (

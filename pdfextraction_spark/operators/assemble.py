@@ -45,12 +45,13 @@ def assemble_conversation_json(extracted: DataFrame,
             ).alias("extracted_fields")
         )
     )
+    # group on the headers ARRAY itself (Spark arrays are valid
+    # grouping keys and order lexicographically) — no serialized
+    # signature, so header text containing the would-be separator
+    # can never conflate two distinct tables
     per_table = (
-        tables.groupBy(
-            "conv_id", F.array_join("headers", "\x1f").alias("hsig")
-        )
+        tables.groupBy("conv_id", "headers")
         .agg(
-            F.first("headers").alias("headers"),  # constant within group
             F.transform(
                 F.array_sort(
                     F.collect_list(
@@ -65,17 +66,8 @@ def assemble_conversation_json(extracted: DataFrame,
     tbls = (
         per_table.groupBy("conv_id")
         .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct("hsig", "headers", "data", "total_rows")
-                    )
-                ),
-                lambda s: F.struct(
-                    s["headers"].alias("headers"),
-                    s["data"].alias("data"),
-                    s["total_rows"].alias("total_rows"),
-                ),
+            F.array_sort(
+                F.collect_list(F.struct("headers", "data", "total_rows"))
             ).alias("extracted_tables")
         )
     )

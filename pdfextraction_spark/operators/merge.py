@@ -89,30 +89,38 @@ def merge_conversation_tables(tables: DataFrame) -> DataFrame:
     Two-level aggregation, both hash-partial: (conv, headers, turn)
     row counts, then (conv, headers) accumulation — at cluster scale
     the second shuffle is tiny (one row per table per turn)."""
-    per_turn = (
-        tables.groupBy(
-            "conv_id",
-            F.array_join("headers", "\x1f").alias("headers"),
-            "turn_idx",
-        )
-        .agg(F.count("*").alias("n_rows"))
+    # both levels group on the headers ARRAY (never a joined
+    # signature — header text containing the separator must not
+    # conflate two tables); the output column serializes US-joined
+    # per the scalar contract only at the very end
+    per_turn = tables.groupBy("conv_id", "headers", "turn_idx").agg(
+        F.count("*").alias("n_rows")
     )
     ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "n_rows")))
-    return per_turn.groupBy("conv_id", "headers").agg(
-        F.sum("n_rows").alias("total_rows"),
-        F.array_join(
-            F.transform(ordered, lambda s: s["turn_idx"].cast("string")), ","
-        ).alias("source_turns"),
-        F.array_join(
-            F.transform(
-                ordered,
-                lambda s: F.concat_ws(
-                    ":", s["turn_idx"].cast("string"), s["n_rows"].cast("string")
+    return (
+        per_turn.groupBy("conv_id", "headers")
+        .agg(
+            F.sum("n_rows").alias("total_rows"),
+            F.array_join(
+                F.transform(ordered, lambda s: s["turn_idx"].cast("string")),
+                ",",
+            ).alias("source_turns"),
+            F.array_join(
+                F.transform(
+                    ordered,
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["turn_idx"].cast("string"),
+                        s["n_rows"].cast("string"),
+                    ),
                 ),
-            ),
-            ",",
-        ).alias("rows_by_turn"),
-        (F.count("*") > 1).alias("spans_multiple_turns"),
+                ",",
+            ).alias("rows_by_turn"),
+            (F.count("*") > 1).alias("spans_multiple_turns"),
+        )
+        .withColumn("headers", F.array_join("headers", "\x1f"))
+        .select("conv_id", "headers", "total_rows", "source_turns",
+                "rows_by_turn", "spans_multiple_turns")
     )
 
 
