@@ -30,7 +30,7 @@ import pandas as pd
 
 from fixtures.generate import FIXTURE_VERSION, gen_transcripts, golden_frame
 
-GOLDEN_VERSION = 6  # v6: + final_json golden
+GOLDEN_VERSION = 7  # v7: duplicate-name schema samples; tuple table sort
 
 SPAN_SEP = "|"
 US = "\x1f"
@@ -196,8 +196,9 @@ def _table_merge_golden(tables_golden: pd.DataFrame) -> pd.DataFrame:
 
 
 # step-2 schema payload samples (engine contract: values are strings
-# or null; names unique, no '='/',' in names). Shared input for the
-# Spark normalizer query and the loop-oracle golden.
+# or null; no '='/',' in names; duplicate names dedup last-wins, the
+# dict-comprehension policy of the reference normalizers). Shared
+# input for the Spark normalizer query and the loop-oracle golden.
 SCHEMA_SAMPLES = [
     (0, '{"Employee Name": "Jane Q", "Emp Id": "77001"}'),
     (1, '{"Status": null, "Department": "R&D"}'),
@@ -217,6 +218,11 @@ SCHEMA_SAMPLES = [
     (14, '  [ "Spaced Name" ]'),     # leading whitespace
     (15, '[{"field_name": null, "label": "Emp Id"}]'),  # null name -> label shape
     (16, '[{"field_name": "A"}, {"field_name": null}]'),  # null mid-array -> Field_i
+    (17, '["Emp Id", "Emp Id"]'),    # duplicate names -> one entry
+    (18, '{"Emp Id": "1", "Emp Id": "2"}'),  # duplicate dict keys -> last wins
+    (19, '[{"label": "A", "estimated_value": "1"}, '
+         '{"label": "A", "estimated_value": "2"}]'),  # last value wins
+    (20, '[{"field_name": "Field_1"}, {"field_name": null}]'),  # fallback collides
 ]
 
 
@@ -259,7 +265,14 @@ def _final_json_golden(turns_golden: pd.DataFrame,
         failed = int(grp["parse_failed"].sum())
         fields = dict(sorted(fields_by_conv.get(conv_id, {}).items()))
         tables = []
-        sigs = sorted(h for (c, h) in tables_by_conv if c == conv_id)
+        # sort by the SPLIT headers tuple (element-wise), matching the
+        # Spark operator's array_sort over the headers ARRAY — sorting
+        # the US-joined string would diverge whenever a header contains
+        # a character below 0x1f (e.g. a decoded tab)
+        sigs = sorted(
+            (h for (c, h) in tables_by_conv if c == conv_id),
+            key=lambda h: tuple(h.split(US)),
+        )
         for h in sigs:
             trows = sorted(tables_by_conv[(conv_id, h)])
             tables.append(
@@ -284,9 +297,16 @@ def _final_json_golden(turns_golden: pd.DataFrame,
         s = json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
         # Jackson (Spark to_json) writes control-char escapes with
         # UPPERCASE hex (\\u001F); json.dumps writes lowercase —
-        # normalize so byte equality holds for control-char payloads
+        # normalize so byte equality holds for control-char payloads.
+        # The alternation consumes '\\\\' (an escaped literal
+        # backslash) first, left-to-right, so data that merely LOOKS
+        # like an escape (literal backslash + 'u001f') is never
+        # uppercased — only real control-char escapes match
         s = re.sub(
-            r"\\u00([0-9a-f]{2})", lambda m: "\\u00" + m.group(1).upper(), s
+            r"\\\\|\\u00([0-9a-f]{2})",
+            lambda m: m.group(0) if m.group(1) is None
+            else "\\u00" + m.group(1).upper(),
+            s,
         )
         rows.append((conv_id, s))
     return pd.DataFrame(rows, columns=["conv_id", "final_json"])

@@ -28,14 +28,43 @@ _OBJ_DDL = (
 )
 
 
+def _map_last_wins(keys: Column, vals: Column) -> Column:
+    """map_from_entries with duplicate keys dropped, LAST occurrence
+    winning — the policy a Python dict comprehension implements, which
+    is what the reference's normalizers do (openai_service.py:688-718)
+    and what json.loads does for duplicate object keys. Spark's
+    map_from_arrays would instead throw DUPLICATED_MAP_KEY under the
+    default mapKeyDedupPolicy, crashing the job on payloads like
+    '["Emp Id", "Emp Id"]'."""
+    n = F.size(keys)
+    rev = F.reverse(keys)
+    entries = F.zip_with(
+        keys, vals, lambda k, v: F.struct(k.alias("key"), v.alias("value"))
+    )
+    # 0-based index of the LAST occurrence of k = n - (1-based first
+    # position of k in the reversed array)
+    kept = F.filter(
+        entries, lambda e, i: i == n - F.array_position(rev, e["key"])
+    )
+    return F.map_from_entries(kept)
+
+
 def normalize_field_schema(col: Column) -> Column:
     """map<string,string> of the canonical schema (values nullable)."""
     as_map = F.from_json(col, "map<string,string>")
+    # from_json keeps duplicate JSON object keys in the parsed map —
+    # re-dedup so '{"Emp Id": "1", "Emp Id": "2"}' normalizes like
+    # json.loads (last value wins), not to a two-entry map
+    _ents = F.map_entries(as_map)
+    as_map_clean = _map_last_wins(
+        F.transform(_ents, lambda e: e["key"]),
+        F.transform(_ents, lambda e: e["value"]),
+    )
     as_names = F.from_json(col, "array<string>")
     as_objs = F.from_json(col, _OBJ_DDL)
     null_str = F.lit(None).cast("string")
 
-    names_map = F.map_from_arrays(
+    names_map = _map_last_wins(
         as_names, F.transform(as_names, lambda _: null_str)
     )
     # shape decided by the first element, reference-style
@@ -54,14 +83,14 @@ def normalize_field_schema(col: Column) -> Column:
             first["field_name"].isNotNull(), null_str
         ).otherwise(o["estimated_value"]),
     )
-    objs_map = F.map_from_arrays(obj_keys, obj_vals)
+    objs_map = _map_last_wins(obj_keys, obj_vals)
     empty = F.from_json(F.lit("{}"), "map<string,string>")
     # from_json(array<string>) STRINGIFIES object elements rather than
     # rejecting them, so the string/object decision needs the raw
     # text: the first array element's opening character
     first_char = F.regexp_extract(col, r"^\s*\[\s*(.)", 1)
     return (
-        F.when(as_map.isNotNull(), as_map)
+        F.when(as_map.isNotNull(), as_map_clean)
         .when(as_names.isNotNull() & (F.size(as_names) == 0), empty)
         .when(as_names.isNotNull() & (first_char == '"'), names_map)
         .when(

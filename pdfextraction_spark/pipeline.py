@@ -61,6 +61,12 @@ def run_extraction_job(
 ) -> dict:
     """Resumable extraction job. Returns a summary dict.
 
+    SINGLE WRITER ONLY: at most one job at a time per
+    (output_path, manifest_path) — orphan-commit reconciliation at job
+    start would otherwise delete a concurrent run's in-flight commit
+    (see sources/manifest.py reconcile_orphan_commits). Concurrent
+    runs against DIFFERENT outputs are fine.
+
     ``fail_after_chunks`` injects a crash after k committed chunks;
     ``fail_before_manifest_chunk`` injects a crash INSIDE the commit
     window of chunk k — after its output append, before its manifest

@@ -26,19 +26,46 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..schema import MANIFEST_SCHEMA
 
 
+_SNAPSHOT_PROBE_BYTES = 4096
+
+
+def _file_content_entry(fp: str, rel: str) -> str:
+    """Content signature of one data file: relative path, size, and a
+    hash of the head + tail probe windows. For parquet the tail window
+    covers the footer (schema, row-group metadata, row counts), so any
+    rewrite that changes data changes the signature; reading two 4 KiB
+    windows keeps the cost independent of file size."""
+    st = os.stat(fp)
+    h = hashlib.sha256()
+    with open(fp, "rb") as f:
+        h.update(f.read(_SNAPSHOT_PROBE_BYTES))
+        if st.st_size > _SNAPSHOT_PROBE_BYTES:
+            f.seek(max(st.st_size - _SNAPSHOT_PROBE_BYTES, 0))
+            h.update(f.read(_SNAPSHOT_PROBE_BYTES))
+    return f"{rel}:{st.st_size}:{h.hexdigest()}"
+
+
 def snapshot_id_for_path(path: str) -> str:
     """Deterministic stand-in for an Iceberg snapshot id: hash of the
-    input file listing (name, size, mtime)."""
+    CONTENT manifest — sorted relative file list, sizes, and per-file
+    head/tail probe hashes (parquet footers live in the tail).
+
+    Content-based on purpose: a touched-but-identical input keeps the
+    same snapshot id (resume still skips committed partitions), while
+    an appended-to or rewritten input rotates it (the changed table is
+    re-extracted, matching Iceberg's new-snapshot-per-commit
+    semantics). mtime is deliberately excluded."""
     entries = []
     if os.path.isdir(path):
-        for root, _dirs, files in os.walk(path):
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
             for f in sorted(files):
                 fp = os.path.join(root, f)
-                st = os.stat(fp)
-                entries.append(f"{fp}:{st.st_size}:{int(st.st_mtime)}")
+                entries.append(
+                    _file_content_entry(fp, os.path.relpath(fp, path))
+                )
     elif os.path.exists(path):
-        st = os.stat(path)
-        entries.append(f"{path}:{st.st_size}:{int(st.st_mtime)}")
+        entries.append(_file_content_entry(path, os.path.basename(path)))
     digest = hashlib.sha256("\n".join(entries).encode()).hexdigest()
     return digest[:16]
 
@@ -91,7 +118,15 @@ def reconcile_orphan_commits(spark: SparkSession, output_path: str,
     scan, independent of data volume. With an Iceberg output table the
     same reconciliation is `DELETE WHERE commit_id IN (orphans)` —
     or unnecessary outright when the two appends share a transaction.
-    Returns the deleted commit_ids."""
+    Returns the deleted commit_ids.
+
+    SINGLE-WRITER REQUIREMENT: exactly one job may run against a given
+    (output_path, manifest_path) at a time. A second concurrent run
+    would see the first run's in-flight commit directory (output
+    appended, manifest row not yet) as an orphan and delete it. This
+    is the same contract Iceberg enforces with optimistic commit
+    locking on the table metadata; the parquet stand-in has no catalog
+    to arbitrate, so the caller must serialize runs."""
     import shutil
 
     if not os.path.isdir(output_path):

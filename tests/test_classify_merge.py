@@ -189,12 +189,14 @@ def test_schema_norm_fuzz_vs_golden(spark):
     from pdfextraction_spark.oracle.mergeops import normalized_schema_str_golden
 
     rng = np.random.default_rng(7)
-    names = [f"Field {i}" for i in range(30)]
+    # small name pool + replace=True => frequent duplicate names, the
+    # case that used to crash map_from_arrays (DUPLICATED_MAP_KEY)
+    names = [f"Field {i}" for i in range(8)]
 
     def rand_payload():
         shape = rng.integers(0, 6)
         ns = list(rng.choice(names, size=int(rng.integers(0, 5)),
-                             replace=False))
+                             replace=True))
         if shape == 0:
             return json.dumps({n: (None if rng.random() < 0.3 else f"v{i}")
                                for i, n in enumerate(ns)})

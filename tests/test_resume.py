@@ -144,6 +144,43 @@ def test_changed_input_invalidates_checkpoints(spark, tmp_path):
     assert s3["partitions_processed"] == 4  # nothing wrongly skipped
 
 
+def test_snapshot_id_content_semantics(tmp_path):
+    """Snapshot ids are CONTENT-based (VERDICT r2 item 7): a
+    touched-but-identical input keeps its id; appended/added/rewritten
+    input rotates it (Iceberg new-snapshot-per-commit semantics)."""
+    import os
+    import time
+
+    from pdfextraction_spark.sources.manifest import snapshot_id_for_path
+
+    src = str(tmp_path / "in")
+    write_transcripts_parquet(os.path.join(src, "a.parquet"), "xs")
+    s1 = snapshot_id_for_path(src)
+
+    # touch every file (mtime changes, bytes identical) -> SAME id
+    time.sleep(1.1)
+    for f in os.listdir(src):
+        os.utime(os.path.join(src, f))
+    assert snapshot_id_for_path(src) == s1
+
+    # add a file -> NEW id
+    write_transcripts_parquet(os.path.join(src, "b.parquet"), "xs",
+                              total_turns=120)
+    s2 = snapshot_id_for_path(src)
+    assert s2 != s1
+
+    # rewrite an existing file with different content -> NEW id
+    write_transcripts_parquet(os.path.join(src, "b.parquet"), "xs",
+                              total_turns=140)
+    s3 = snapshot_id_for_path(src)
+    assert s3 not in (s1, s2)
+
+    # restore identical content (same generator args) -> id returns
+    write_transcripts_parquet(os.path.join(src, "b.parquet"), "xs",
+                              total_turns=120)
+    assert snapshot_id_for_path(src) == s2
+
+
 def test_legacy_manifest_never_reconciled_away(spark, tmp_path):
     """A manifest written before the commit_id column existed cannot
     attest which commits it covers — reconciliation must refuse to
