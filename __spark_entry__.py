@@ -493,6 +493,38 @@ def q_merge_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_conversation_tables(extract_tables(_fixture_turns(spark, sf_dir)))
 
 
+def q_extraction_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed anomaly records (result_merger.py:212-244
+    detect_conflicts_and_anomalies): field conflicts + multi-turn
+    row-structure inconsistencies as one routable record stream —
+    upgrades the r2 boolean flags to the reference's typed shape."""
+    from pdfextraction_spark.operators.anomalies import extraction_anomalies
+    from pdfextraction_spark.operators.tables import extract_tables
+    from pdfextraction_spark.pipeline import extract_dataframe
+
+    turns = _fixture_turns(spark, sf_dir)
+    return extraction_anomalies(
+        extract_dataframe(turns, num_partitions=8), extract_tables(turns)
+    )
+
+
+def q_apply_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrections overlay (app.py:822 validated-JSON precedence):
+    deterministic human-override fixture applied over the merged
+    fields — override wins, machine value retained as provenance,
+    human-added fields appear with null machine provenance."""
+    from pdfextraction_spark.operators.corrections import (
+        apply_corrections,
+        fixture_corrections,
+    )
+    from pdfextraction_spark.operators.merge import merge_conversation_fields
+    from pdfextraction_spark.pipeline import extract_dataframe
+
+    turns = _fixture_turns(spark, sf_dir)
+    merged = merge_conversation_fields(extract_dataframe(turns, num_partitions=8))
+    return apply_corrections(merged, fixture_corrections(turns))
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal image path: real PNG decode -> pixel stats +
     average-hash over the deterministic media fixture; golden computed
@@ -552,37 +584,78 @@ def q_fence_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, portable hash family: the DuckDB
+    oracle re-derives signatures, band keys, candidates, and the exact
+    Jaccard verification from the raw documents table (was a rows-only
+    check in r2). Production runs portable=False (xxhash64 longs)."""
     from pdfextraction_spark.functions.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.2
+        _t(spark, sf_dir, "documents"), threshold=0.2, portable=True
     )
 
 
+def q_simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 60-bit portable SimHash sketch itself, hash-checked per doc
+    — pins the sketch computation independently of how many near-pairs
+    the corpus happens to contain."""
+    from pdfextraction_spark.functions.dedup import simhash_portable60
+
+    return simhash_portable60(_t(spark, sf_dir, "documents"))
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at the scale-safe standard config
+    (d=3, 4 wide bands — Manku WWW'07); d=12 remains an explicit
+    opt-in cost dial on the function. Portable sketch -> full DuckDB
+    oracle (banding + exact Hamming verify)."""
     from pdfextraction_spark.functions.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=12)
+    return simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, portable=True
+    )
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN with Hamming-1 multiprobe, portable
+    planes: deterministic md5-derived integer hyperplanes + quantized
+    projections make the bucket ids engine-exact, so the DuckDB oracle
+    rebuilds the identical candidate sets and ranking."""
     from pdfextraction_spark.functions.similarity import lsh_bucket_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_bucket_topk(emb, queries, k=10, bits=4)
+    return lsh_bucket_topk(emb, queries, k=10, bits=4, portable=True)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with deterministic strided seed centroids and 0 Lloyd
+    iterations — the oracle-exact configuration (assignment = argmax
+    of round(cosine, 6), reproducible in SQL). Lloyd refinement stays
+    available (lloyd_iters>0) and is recall-pinned in pytest."""
     from pdfextraction_spark.functions.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4,
+                    lloyd_iters=0)
+
+
+def q_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs on the SCALE path (LSH-blocked +
+    multiprobe — the plan you'd run at corpus size, VERDICT r2 item 2),
+    with portable planes so the blocked candidate set is oracle-exact.
+    The exact O(n^2) form stays as the small-N verifier query."""
+    from pdfextraction_spark.functions.similarity import cosine_near_pairs
+
+    return cosine_near_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, blocked=True,
+        bits=4, portable=True,
+    )
 
 
 def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -640,13 +713,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_tables": q_merge_tables,
         "final_json": q_final_json,
         "schema_norm": q_schema_norm,
+        "extraction_anomalies": q_extraction_anomalies,
+        "apply_corrections": q_apply_corrections,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "fence_json": q_fence_json,
         "minhash_lsh_pairs": q_minhash_lsh,
+        "simhash_sketch": q_simhash_sketch,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
+        "cosine_near_pairs_blocked": q_cosine_blocked,
         "training_filter": q_training_filter,
     }
 
@@ -891,7 +968,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1, 2
         """,
+        **_portable_oracle_sql(),
         **_golden_oracle_sql(),
+    }
+
+
+def _portable_oracle_sql() -> dict[str, str]:
+    """Full-pipeline DuckDB oracles for the approximate dedup/ANN
+    queries (portable md5 hash family — closes VERDICT r2 item 1; see
+    pdfextraction_spark/oracle/portable_sql.py for the cross-engine
+    equalities these rely on). Parameters here MUST match the
+    corresponding q_* query calls."""
+    from pdfextraction_spark.oracle import portable_sql as P
+
+    return {
+        "minhash_lsh_pairs": P.minhash_lsh_pairs_sql(threshold=0.2),
+        "simhash_sketch": P.simhash_sketch_sql(),
+        "simhash_pairs": P.simhash_pairs_sql(max_hamming=3),
+        "ann_lsh_topk": P.ann_lsh_topk_sql(bits=4, k=10, n_queries=5),
+        "ann_ivf_topk": P.ann_ivf_topk_sql(n_centroids=16, n_probe=4,
+                                           k=10, n_queries=5),
+        # bits=4 at this fixture scale: the threshold (0.4) is far
+        # below the near-dup regime LSH is built for, so wider buckets
+        # buy recall (35/59 of the exact pairs vs 9/59 at bits=8);
+        # bits is the occupancy dial you raise with corpus size
+        "cosine_near_pairs_blocked": P.cosine_near_pairs_blocked_sql(
+            threshold=0.4, bits=4
+        ),
     }
 
 
@@ -1008,6 +1111,15 @@ def _golden_oracle_sql() -> dict[str, str]:
         "schema_norm": f"""
             SELECT sample_id, normalized
             FROM read_parquet('{t("schema_norm")}')
+        """,
+        "extraction_anomalies": f"""
+            SELECT conv_id, anomaly_type, subject, issue, detail
+            FROM read_parquet('{t("anomalies")}')
+        """,
+        "apply_corrections": f"""
+            SELECT conv_id, field, value, source, machine_value,
+                   source_turn, conflict_detected
+            FROM read_parquet('{t("corrections")}')
         """,
         "final_json": f"""
             SELECT conv_id, final_json

@@ -55,10 +55,14 @@ HEADLINE = [
     "ngram_jaccard",
     "minhash_lsh_pairs",
     "simhash_pairs",
-    "cosine_near_pairs",
+    # the SCALE path (LSH-blocked + multiprobe) is the headline; the
+    # exact O(n^2) cosine_near_pairs stays a driver-checked verifier
+    # but no longer drives the bench (VERDICT r2 item 2)
+    "cosine_near_pairs_blocked",
     "winnow_fingerprints",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "extract_tables",
     "classify_blocks",
     "merge_tables",
@@ -327,12 +331,45 @@ def main() -> None:
     # be charged to whichever query runs first
     qs["group_stats"](spark, SF_DIR).count()
     qs["sessionize_events"](spark, SF_DIR).count()
+    from pyspark.sql import functions as SF
+
+    def force(df):
+        """Force FULL evaluation of every output column. df.count()
+        lets Catalyst prune projection-only queries down to a bare
+        scan (token_stats et al. would be timed as parquet row
+        counts); hashing every column defeats pruning for the cost of
+        one cheap aggregate. (Methodology change in round 3 — earlier
+        rounds' per-query times undercounted projection-only
+        queries.)"""
+        df.select(
+            SF.sum(SF.xxhash64(*[SF.col(c) for c in df.columns]))
+        ).collect()
+
     times = {}
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
-        fn(spark, SF_DIR).count()
+        force(fn(spark, SF_DIR))
         times[name] = round(time.time() - t0, 3)
+    # production winnowing variant (xxhash64 — not SQL-portable, so
+    # not a driver query; recall-pinned in pytest, timed here)
+    from pdfextraction_spark.functions.text import winnow_fingerprints_fast
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    t0 = time.time()
+    force(
+        docs.select(
+            "doc_id",
+            SF.array_join(
+                SF.transform(
+                    winnow_fingerprints_fast(SF.col("text"), k=8, window=4),
+                    lambda v: v.cast("string"),
+                ),
+                ",",
+            ).alias("fingerprints"),
+        )
+    )
+    times["winnow_fingerprints_fast"] = round(time.time() - t0, 3)
     # extraction throughput at the driver-standard CPU count
     turns = spark.read.parquet(parquet)
     n_turns = turns.count()

@@ -30,7 +30,7 @@ import pandas as pd
 
 from fixtures.generate import FIXTURE_VERSION, gen_transcripts, golden_frame
 
-GOLDEN_VERSION = 7  # v7: duplicate-name schema samples; tuple table sort
+GOLDEN_VERSION = 8  # v8: + anomalies/corrections goldens (r3 items 5-6)
 
 SPAN_SEP = "|"
 US = "\x1f"
@@ -312,6 +312,79 @@ def _final_json_golden(turns_golden: pd.DataFrame,
     return pd.DataFrame(rows, columns=["conv_id", "final_json"])
 
 
+def _anomalies_golden(merge_golden: pd.DataFrame,
+                      tables_golden: pd.DataFrame) -> pd.DataFrame:
+    """Typed anomaly records (result_merger.py:212-244): field
+    conflicts from the merge golden + multi-turn row-structure
+    inconsistencies from the tables golden — plain Python, no operator
+    code paths."""
+    rows = []
+    for r in merge_golden.itertuples():
+        if r.conflict_detected:
+            rows.append((
+                r.conv_id, "field_conflict", r.field,
+                "Multiple different values found across turns",
+                f"resolved to longest value; occurrences={r.n_occurrences}",
+            ))
+    by_table: dict = {}
+    for r in tables_golden.itertuples():
+        filled = sum(c != NUL for c in r.cells.split(US))
+        turns, counts = by_table.setdefault((r.conv_id, r.headers),
+                                            (set(), set()))
+        turns.add(int(r.turn_idx))
+        counts.add(filled)
+    for (conv_id, headers), (turns, counts) in sorted(by_table.items()):
+        if len(turns) > 1 and len(counts) > 1:
+            rows.append((
+                conv_id, "inconsistent_row_structure", headers,
+                "Inconsistent row structure across turns",
+                "row cell counts vary: ["
+                + ", ".join(str(c) for c in sorted(counts)) + "]",
+            ))
+    return pd.DataFrame(
+        rows,
+        columns=["conv_id", "anomaly_type", "subject", "issue", "detail"],
+    )
+
+
+def _corrections_golden(turns_golden: pd.DataFrame,
+                        merge_golden: pd.DataFrame) -> pd.DataFrame:
+    """Corrections overlay golden (app.py:822 precedence): the same
+    deterministic overrides fixture_corrections derives, applied over
+    the merge golden in plain Python."""
+    import re
+
+    corr = {}
+    for c in sorted(set(turns_golden["conv_id"])):
+        n = int(re.sub(r"\D", "", c))
+        if n % 5 == 0:
+            corr[(c, "Employee Name")] = f"Validated Name {n}"
+        if n % 10 == 0:
+            corr[(c, "Reviewer Note")] = f"reviewed-{n}"
+    rows, seen = [], set()
+    for r in merge_golden.itertuples():
+        key = (r.conv_id, r.field)
+        seen.add(key)
+        if key in corr:
+            rows.append((r.conv_id, r.field, corr[key], "validated",
+                         r.value, int(r.source_turn),
+                         bool(r.conflict_detected)))
+        else:
+            rows.append((r.conv_id, r.field, r.value, "machine", None,
+                         int(r.source_turn), bool(r.conflict_detected)))
+    for (c, f), v in sorted(corr.items()):
+        if (c, f) not in seen:
+            rows.append((c, f, v, "validated", None, None, False))
+    out = pd.DataFrame(
+        rows,
+        columns=["conv_id", "field", "value", "source", "machine_value",
+                 "source_turn", "conflict_detected"],
+    )
+    out["source_turn"] = out["source_turn"].astype("Int32")
+    out["conflict_detected"] = out["conflict_detected"].astype(bool)
+    return out
+
+
 def _media_golden():
     """Golden multimodal features: decode every fixture blob with the
     codecs directly (no Spark, no operator code paths) and recompute
@@ -393,6 +466,12 @@ def ensure_golden(tier: str, cache_dir: str = "/tmp/pdfx_fixtures") -> str:
     _fence_golden(df).to_parquet(os.path.join(tmp, "fence.parquet"), index=False)
     _table_merge_golden(tables).to_parquet(
         os.path.join(tmp, "table_merge.parquet"), index=False
+    )
+    _anomalies_golden(merge, tables).to_parquet(
+        os.path.join(tmp, "anomalies.parquet"), index=False
+    )
+    _corrections_golden(turns, merge).to_parquet(
+        os.path.join(tmp, "corrections.parquet"), index=False
     )
     _schema_norm_golden().to_parquet(
         os.path.join(tmp, "schema_norm.parquet"), index=False

@@ -21,7 +21,42 @@ the head of the frequency distribution before the join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+# --------------------------------------------------------------------------
+# hash families
+#
+# Every sketch here comes in two flavors sharing one pipeline shape:
+#
+# - xxhash64 (default): the production Spark path — JVM-native, zero
+#   allocation, the right 100 TB choice.
+# - md5-portable: bit-identical on ANY engine with md5() — the driver's
+#   DuckDB oracle recomputes the ENTIRE sketch + blocking + verify
+#   pipeline in SQL and must land on the same rows/hashes, which a
+#   Spark-private hash cannot give it. Slower (md5 + hex decode), used
+#   for oracle-checked queries and cross-engine reproducibility.
+
+
+def md5_prefix60(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5, as a long.
+    60 bits keeps the value positive in both engines' signed int64
+    (16 chars could set the sign bit). DuckDB mirror:
+    ``list_sum([CAST(strpos('0123456789abcdef', substring(md5(s),j,1))
+    - 1 AS BIGINT) << (4*(15-j)) for j in generate_series(1,15)])``."""
+    return F.conv(
+        F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def md5_seeded_prefix(col: Column, seed: int) -> Column:
+    """Portable seeded hash family: 16-hex-char md5 prefix of
+    '<seed>:<text>', compared AS A STRING — lowercase hex of equal
+    length orders identically to the unsigned integer it encodes, so
+    MIN() over these strings is MIN() over the hash values. DuckDB
+    mirror: ``substring(md5(seed || ':' || s), 1, 16)``."""
+    return F.substring(
+        F.md5(F.encode(F.concat(F.lit(f"{seed}:"), col), "UTF-8")), 1, 16
+    )
 
 
 def _shingles(col, n: int = 3):
@@ -190,18 +225,27 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,
-                       num_hashes: int = 32) -> DataFrame:
+                       num_hashes: int = 32,
+                       portable: bool = False) -> DataFrame:
     """num_hashes minhash values per doc: min over shingles of
-    xxhash64(shingle, seed_i). Seeded-hash families replace explicit
-    permutations (standard MinHash trick)."""
+    hash_i(shingle). Seeded-hash families replace explicit
+    permutations (standard MinHash trick).
+
+    ``portable=False``: xxhash64(shingle, seed_i) longs (production).
+    ``portable=True``: md5_seeded_prefix hex strings — the identical
+    signature is computable in plain SQL, so the driver's DuckDB
+    oracle re-derives it end to end."""
     sh = with_shingles(df, text_col, id_col, n)
     # explode once, then num_hashes columnar min-aggregations (partial
     # agg map-side) — far cheaper than evaluating num_hashes array
     # transforms per row
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    hash_i = (
+        (lambda i: md5_seeded_prefix(F.col("s"), i)) if portable
+        else (lambda i: F.xxhash64("s", F.lit(i)))
+    )
     agg = ex.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
-          for i in range(num_hashes)]
+        *[F.min(hash_i(i)).alias(f"h{i}") for i in range(num_hashes)]
     )
     sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
     return agg.select("doc_id", sig.alias("signature"))
@@ -210,13 +254,31 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       num_hashes: int = 32, bands: int = 8,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      portable: bool = False) -> DataFrame:
     """LSH candidate pairs (banding) verified by exact shingle Jaccard.
 
     bands of r = num_hashes/bands rows; a pair colliding in ANY band is
-    a candidate (s-curve threshold ~ (1/bands)^(1/r))."""
+    a candidate (s-curve threshold ~ (1/bands)^(1/r)).
+
+    ``portable=True`` switches to the md5 hash family and joins on the
+    raw comma-joined band key instead of hashing it — the whole
+    candidate set is then reproducible in the DuckDB oracle. The
+    default keeps xxhash64 longs end to end (fixed-width shuffle
+    keys, the 100 TB path)."""
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, portable)
+
+    def band_key(bi: int):
+        joined = F.array_join(
+            F.transform(
+                F.slice("signature", bi * r + 1, r),
+                lambda v: v.cast("string"),
+            ),
+            ",",
+        )
+        return joined if portable else F.xxhash64(joined)
+
     bucket_rows = sigs.select(
         "doc_id",
         F.explode(
@@ -224,15 +286,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("signature", bi * r + 1, r),
-                                    lambda v: v.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
+                        band_key(bi).alias("bucket"),
                     )
                     for bi in range(bands)
                 ]
@@ -270,13 +324,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
-def simhash64(df: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id", n: int = 2) -> DataFrame:
-    """64-bit SimHash: per bit, sign of the sum over shingles of
-    (+1 if hash bit set else -1)."""
+def _simhash(df: DataFrame, text_col: str, id_col: str, n: int,
+             hash_fn, bits: int) -> DataFrame:
+    """Shared SimHash pipeline: per bit, sign of the sum over shingles
+    of (+1 if hash bit set else -1). One explode + one grouped
+    aggregation with ``bits`` map-side-combined SUM columns."""
     sh = with_shingles(df, text_col, id_col, n)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    h = ex.withColumn("h", F.xxhash64("s"))
+    h = ex.withColumn("h", hash_fn(F.col("s")))
     # bit tests/reconstruction via shifts — 1<<63 overflows a literal long
     bit_cols = [
         F.sum(
@@ -284,15 +339,29 @@ def simhash64(df: DataFrame, text_col: str = "text",
                 F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(bits)
     ]
     agg = h.groupBy("doc_id").agg(*bit_cols)
     sim = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(bits):
         sim = sim + F.when(
             F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
     return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """64-bit SimHash over xxhash64 shingle hashes (production)."""
+    return _simhash(df, text_col, id_col, n, F.xxhash64, 64)
+
+
+def simhash_portable60(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """60-bit SimHash over md5_prefix60 shingle hashes — the sketch the
+    DuckDB oracle recomputes bit-for-bit in SQL (60 bits = 15 md5 hex
+    chars; keeps the value positive in signed int64 on every engine)."""
+    return _simhash(df, text_col, id_col, n, md5_prefix60, 60)
 
 
 def _band_bounds(bits: int, bands: int):
@@ -309,29 +378,36 @@ def _band_bounds(bits: int, bands: int):
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", max_hamming: int = 8,
-                       bands: int | None = None) -> DataFrame:
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       bands: int | None = None,
+                       portable: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded blocking
     (Manku et al., WWW'07 style).
 
-    The 64 bits split into ``bands`` contiguous chunks; a candidate
+    The sketch bits split into ``bands`` contiguous chunks; a candidate
     pair must collide in at least one (band, chunk-value) bucket. With
     bands >= max_hamming + 1 (the default) recall is GUARANTEED by
     pigeonhole: d differing bits can dirty at most d bands, leaving one
     identical band. Candidates are verified by exact bit_count(xor).
 
-    The cost dial: more bands -> narrower chunks -> bigger buckets
-    (band width w gives expected n/2^w docs per bucket). d=12 forces
-    13 bands of ~5 bits — fine into the 10^7-doc range; at larger
-    corpus x distance products, lower d (the standard d=3 with 4
-    16-bit bands) or pre-partition by length band."""
+    The DEFAULT is the scale-safe standard config: d=3 with 4 wide
+    bands (Manku WWW'07) — 16-bit bands give expected n/2^16 docs per
+    bucket, web-corpus territory. Larger d is an explicit opt-in cost
+    dial: more bands -> narrower chunks -> bigger buckets (band width
+    w ~> n/2^w docs each); d=12 forces 13 ~5-bit bands, which is
+    10^7-doc territory, not 10^9.
+
+    ``portable=True`` uses the 60-bit md5 sketch (simhash_portable60)
+    so the DuckDB oracle reproduces sketch, banding, and verification
+    exactly; default stays xxhash64/64-bit."""
     if bands is None:
         bands = max_hamming + 1
-    sh = simhash64(df, text_col, id_col)
+    total_bits = 60 if portable else 64
+    sh = (simhash_portable60 if portable else simhash64)(df, text_col, id_col)
 
     def _band_key(start: int, width: int):
         shifted = F.shiftrightunsigned("simhash", start)
-        if start + width >= 64:  # top band: shift already truncates
+        if start + width >= total_bits:  # top band: shift already truncates
             return shifted
         return shifted.bitwiseAND(F.lit((1 << width) - 1))
 
@@ -345,7 +421,9 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                         F.lit(bi).alias("band"),
                         _band_key(start, width).alias("key"),
                     )
-                    for bi, (start, width) in enumerate(_band_bounds(64, bands))
+                    for bi, (start, width) in enumerate(
+                        _band_bounds(total_bits, bands)
+                    )
                 ]
             )
         ).alias("bb"),

@@ -82,6 +82,7 @@ def cosine_near_pairs(
     dim: int = 64,
     planes: Optional[List[List[float]]] = None,
     multiprobe: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a<b, cosine >= threshold).
 
@@ -93,7 +94,11 @@ def cosine_near_pairs(
     measured vs the exact form in tests.
 
     ``blocked=False``: exact all-pairs cross join — the verifier and
-    the small-N path; O(n^2), never run this on a corpus."""
+    the small-N path; O(n^2), never run this on a corpus.
+
+    ``portable=True`` (blocked path only): md5-derived integer planes
+    + quantized bucketing so the DuckDB oracle reproduces the blocked
+    candidate set exactly."""
     # compute each vector's norm ONCE: the pair expression is then a
     # dot product and one division — recomputing both norms per pair
     # would triple the flops on an O(pairs) expression
@@ -121,8 +126,10 @@ def cosine_near_pairs(
             )
             .filter(F.col("cos_sim") >= threshold)
         )
+    if portable and planes is None:
+        planes = det_int_planes(dim, bits)
     planes = planes or random_hyperplanes(dim, bits)
-    bucket = lsh_bucket_id(F.col("v"), planes)
+    bucket = lsh_bucket_id(F.col("v"), planes, quantize=portable)
     eb = e.withColumn("bucket", bucket)
     probe_list = (
         F.array(F.col("bucket"),
@@ -163,27 +170,65 @@ def random_hyperplanes(dim: int, bits: int = 8, seed: int = 42) -> List[List[flo
     return rng.standard_normal((bits, dim)).tolist()
 
 
-def lsh_bucket_id(vec_col, planes: Sequence[Sequence[float]]):
-    """Sign-LSH bucket: bit i set iff dot(vec, plane_i) > 0."""
+# quantization scale for the portable bucket path: embeddings are
+# rounded to integers at this scale before the plane dot product, so
+# the arithmetic is exact-integer (doubles are exact below 2^53) and
+# the bucket id is bit-identical on any engine — no sign flips from
+# summation-order ulp drift
+QUANT_SCALE = 1000
+
+
+def det_int_planes(dim: int, bits: int) -> List[List[int]]:
+    """Deterministic integer hyperplanes derived from md5: component
+    (b, d) is the first hex digit of md5('b:d') minus 8 (range -8..7).
+    Any engine with md5 can rebuild the identical planes — the DuckDB
+    oracle does, via strpos('0123456789abcdef', substring(md5(...),1,1))
+    - 9. Uniform small-int components are fine for SIGN-LSH bucketing
+    (only the sign of the projection matters); the Gaussian planes
+    remain the default for the non-oracle path."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{b}:{d}".encode()).hexdigest()[0], 16) - 8
+            for d in range(dim)
+        ]
+        for b in range(bits)
+    ]
+
+
+def lsh_bucket_id(vec_col, planes: Sequence[Sequence[float]],
+                  quantize: bool = False):
+    """Sign-LSH bucket: bit i set iff dot(vec, plane_i) > 0.
+
+    ``quantize=True`` (portable path): the vector is rounded to
+    integers at QUANT_SCALE first, making the dot product exact
+    integer arithmetic — reproducible bit-for-bit across engines."""
+    v = _as_double(vec_col)
+    if quantize:
+        v = F.transform(v, lambda x: F.round(x * QUANT_SCALE))
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         arr = F.array(*[F.lit(float(x)) for x in plane])
         bucket = bucket + F.when(
-            _dot(_as_double(vec_col), arr) > 0, F.lit(1 << i).cast("long")
+            _dot(v, arr) > 0, F.lit(1 << i).cast("long")
         ).otherwise(0)
     return bucket
 
 
 def _centroid_scores(vec_col, centroids: Sequence[Sequence[float]]):
-    """Array of cosine scores against each (unit-normalized) centroid —
-    pure column expressions, whole-stage codegen."""
+    """Array of cosine scores against each centroid, ROUNDED to 6dp —
+    pure column expressions, whole-stage codegen. Rounding pins the
+    downstream argmax/top-probe decisions against last-ulp drift, so
+    the assignment is reproducible across engines (the DuckDB oracle
+    computes round(list_cosine_similarity(v, c), 6)); a 1e-6 score
+    difference is far below any meaningful centroid margin."""
     v = _as_double(vec_col)
     scores = []
     for c in centroids:
-        arr = np.asarray(c, dtype=np.float64)
-        arr = arr / (np.linalg.norm(arr) or 1.0)
-        lit = F.array(*[F.lit(float(x)) for x in arr])
-        scores.append(_dot(v, lit) / _norm(v))
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        norm_c = float(np.linalg.norm(np.asarray(c, dtype=np.float64))) or 1.0
+        scores.append(F.round(_dot(v, lit) / (_norm(v) * F.lit(norm_c)), 6))
     return F.array(*scores)
 
 
@@ -307,6 +352,7 @@ def lsh_bucket_topk(
     query_id_col: str = "query_id",
     planes: Optional[List[List[float]]] = None,
     multiprobe: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: only candidates in the query's LSH bucket(s)
     are scored.
@@ -315,14 +361,20 @@ def lsh_bucket_topk(
     Hamming distance 1 (one sign flipped) — the standard multiprobe-LSH
     recall boost. Cost scales the query side only (bits+1 probe rows
     per query, still broadcast); the corpus is hashed exactly once.
-    Recall measured against brute_force_topk in tests."""
+    Recall measured against brute_force_topk in tests.
+
+    ``portable=True``: md5-derived integer planes + quantized exact-
+    integer bucketing (det_int_planes) so the DuckDB oracle rebuilds
+    the identical candidate sets; default keeps Gaussian planes."""
+    if portable and planes is None:
+        planes = det_int_planes(dim, bits)
     planes = planes or random_hyperplanes(dim, bits)
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
         _as_double(F.col(vec_col)).alias("v"),
-        lsh_bucket_id(F.col(vec_col), planes).alias("bucket"),
+        lsh_bucket_id(F.col(vec_col), planes, quantize=portable).alias("bucket"),
     )
-    qb = lsh_bucket_id(F.col(vec_col), planes)
+    qb = lsh_bucket_id(F.col(vec_col), planes, quantize=portable)
     probe_list = (
         F.array(qb, *[qb.bitwiseXOR(F.lit(1 << i).cast("long"))
                       for i in range(len(planes))])

@@ -146,17 +146,37 @@ def winnow_fingerprints(col: Column, k: int = 8, window: int = 4) -> Column:
     Pure column expressions (transform over index sequences — one
     codegen stage, no UDF). Hashes via md5-prefix so the identical
     expression runs on any SQL engine (the DuckDB oracle mirrors it
-    verbatim); swap xxhash64 for production Spark-only speed.
-    Returns a sorted array of distinct selected fingerprints."""
+    verbatim); ``winnow_fingerprints_fast`` is the xxhash64 production
+    form. Returns a sorted array of distinct selected fingerprints."""
+    return _winnow(
+        col, k, window,
+        lambda g: F.substring(F.md5(F.encode(g, "UTF-8")), 1, 16),
+        "array<string>",
+    )
+
+
+def winnow_fingerprints_fast(col: Column, k: int = 8,
+                             window: int = 4) -> Column:
+    """Production winnowing: identical selection structure to
+    winnow_fingerprints but k-grams hashed with xxhash64 (JVM-native,
+    no md5 digest or hex materialization per position — the expensive
+    part of the portable form). A different hash family selects
+    different positions, but the winnowing guarantee is per-family:
+    any two documents sharing a substring of length >= window+k-1
+    share a selected fingerprint (recall-pinned against the portable
+    form in tests). Returns sorted distinct longs — fixed-width
+    shuffle/join keys for the downstream overlap join."""
+    return _winnow(col, k, window, F.xxhash64, "array<bigint>")
+
+
+def _winnow(col: Column, k: int, window: int, hash_fn, ddl: str) -> Column:
     low = F.lower(col)
     n_grams = F.length(low) - (k - 1)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-        lambda i: F.substring(
-            F.md5(F.encode(low.substr(i, F.lit(k)), "UTF-8")), 1, 16
-        ),
+        lambda i: hash_fn(low.substr(i, F.lit(k))),
     )
-    selected = F.when(n_grams <= 0, F.array().cast("array<string>")).otherwise(
+    selected = F.when(n_grams <= 0, F.array().cast(ddl)).otherwise(
         F.when(
             n_grams <= window,
             F.array(F.array_min(grams)),

@@ -1,0 +1,317 @@
+"""DuckDB oracle SQL for the approximate dedup/ANN driver queries.
+
+Closes VERDICT r2 item 1: the four `no_oracle` rows. Each Spark query
+runs its PORTABLE hash variant (md5-derived sketches / deterministic
+integer hyperplanes — functions/dedup.py, functions/similarity.py),
+and the SQL here re-derives the ENTIRE pipeline — sketch, banding/
+bucketing, candidate enumeration, exact verification, ranking — from
+the raw base tables, so the driver's row/schema/value-hash compare is
+a full end-to-end check, not a soundness spot-check.
+
+Cross-engine equalities these rely on (probed empirically in
+tests/test_portable_oracles.py):
+
+- md5(utf8 text) is identical everywhere; 15 hex chars -> 60-bit
+  positive int64 via strpos/shift == Spark conv(substr(md5,1,15),16,10)
+- lowercase fixed-width hex strings order like the integers they
+  encode, so MIN() over md5-prefix strings is MIN() over hash values
+- round(x*1000) (half away from zero on doubles) matches between
+  engines, and integer-valued doubles below 2^53 make the plane dot
+  products exact — bucket ids can never drift by an ulp
+- cosine similarities are compared only after round(..., 6), the same
+  tolerance the already-green exact ANN oracles use
+"""
+
+from __future__ import annotations
+
+_HEX = "0123456789abcdef"
+
+# md5 prefix (15 hex chars) -> 60-bit BIGINT, DuckDB side
+_MD5_60 = (
+    "list_sum([CAST(strpos('" + _HEX + "', substring(md5({expr}), j, 1)) - 1 "
+    "AS BIGINT) << (4*(15-j)) for j in generate_series(1,15)])"
+)
+
+
+def _shingle_cte(table: str, n: int) -> str:
+    """DISTINCT word n-gram shingles of lower(trim(text)) — mirrors
+    dedup.with_shingles (docs shorter than n collapse to one shingle
+    of the whole text)."""
+    return f"""
+        toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+          FROM {table}
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+            CASE WHEN len(t) < {n} THEN array_to_string(t, ' ')
+                 ELSE array_to_string(t[i:i+{n - 1}], ' ') END AS s
+          FROM toks,
+            LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - {n - 1}, 1))) AS i)
+        )"""
+
+
+def minhash_lsh_pairs_sql(table: str = "documents", n: int = 3,
+                          num_hashes: int = 32, bands: int = 8,
+                          threshold: float = 0.2) -> str:
+    """Mirror of minhash_lsh_pairs(portable=True): seeded md5-prefix
+    minhash signatures, comma-joined band keys, band equi-join
+    candidates, exact-Jaccard verification."""
+    r = num_hashes // bands
+    return f"""
+        WITH {_shingle_cte(table, n)},
+        sig AS (
+          SELECT doc_id, i // {r} AS band,
+                 string_agg(mh, ',' ORDER BY i) AS key
+          FROM (
+            SELECT doc_id, i,
+                   MIN(substring(md5(i || ':' || s), 1, 16)) AS mh
+            FROM sh,
+              LATERAL (SELECT unnest(generate_series(0, {num_hashes - 1})) AS i)
+            GROUP BY doc_id, i
+          ) mh
+          GROUP BY doc_id, band
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sig a
+          JOIN sig b ON a.band = b.band AND a.key = b.key
+                    AND a.doc_id < b.doc_id
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT i.id_a, i.id_b,
+               round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6)
+                 AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6)
+                >= {threshold}
+    """
+
+
+def _simhash_sketch_ctes(table: str, n: int, bits: int = 60) -> str:
+    """CTE chain ending in sk(doc_id, simhash) — mirror of
+    simhash_portable60."""
+    h60 = _MD5_60.format(expr="s")
+    bit_sums = ",\n                 ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    recon = "\n                 + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""{_shingle_cte(table, n)},
+        hv AS (
+          SELECT doc_id, {h60} AS h FROM sh
+        ), bits AS (
+          SELECT doc_id,
+                 {bit_sums}
+          FROM hv GROUP BY doc_id
+        ), sk AS (
+          SELECT doc_id,
+                 {recon} AS simhash
+          FROM bits
+        )"""
+
+
+def simhash_sketch_sql(table: str = "documents", n: int = 2) -> str:
+    """Mirror of simhash_portable60: (doc_id, simhash) for every doc."""
+    return f"""
+        WITH {_simhash_sketch_ctes(table, n)}
+        SELECT doc_id, simhash FROM sk
+    """
+
+
+def simhash_pairs_sql(table: str = "documents", n: int = 2,
+                      max_hamming: int = 3,
+                      bands: int | None = None) -> str:
+    """Mirror of simhash_near_pairs(portable=True): banded blocking
+    over the 60-bit sketch, exact Hamming verification."""
+    from ..functions.dedup import _band_bounds
+
+    if bands is None:
+        bands = max_hamming + 1
+    band_keys = []
+    for bi, (start, width) in enumerate(_band_bounds(60, bands)):
+        if start + width >= 60:
+            expr = f"(simhash >> {start})"
+        else:
+            expr = f"((simhash >> {start}) & {(1 << width) - 1})"
+        band_keys.append(f"({bi}, {expr})")
+    bands_values = ", ".join(band_keys)
+    return f"""
+        WITH {_simhash_sketch_ctes(table, n)},
+        bands AS (
+          SELECT doc_id, simhash, bk.band, bk.key
+          FROM sk, LATERAL (VALUES {bands_values}) AS bk(band, key)
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                 AS hamming
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.key = b.key
+                    AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _plane_cte(bits: int, dim: int) -> str:
+    """pl(b, d, w): md5-derived integer hyperplane components in
+    [-8, 7] — mirror of similarity.det_int_planes."""
+    return f"""
+        pl AS (
+          SELECT bb.b, dd.d,
+                 CAST(strpos('{_HEX}', substring(md5(bb.b || ':' || dd.d), 1, 1)) - 9
+                      AS DOUBLE) AS w
+          FROM (SELECT unnest(generate_series(0, {bits - 1})) AS b) bb,
+               (SELECT unnest(generate_series(0, {dim - 1})) AS d) dd
+        )"""
+
+
+def _bucket_ctes(table: str, bits: int, dim: int) -> str:
+    """CTE chain ending in buck(vec_id, v, bucket) — mirror of
+    lsh_bucket_id(quantize=True) over det_int_planes."""
+    return f"""
+        e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+        ), q AS (
+          SELECT vec_id, v,
+                 [round(v[d] * 1000) for d in generate_series(1, {dim})] AS qv
+          FROM e
+        ), {_plane_cte(bits, dim)},
+        proj AS (
+          SELECT q.vec_id, pl.b, SUM(q.qv[pl.d + 1] * pl.w) AS s
+          FROM q, pl
+          GROUP BY q.vec_id, pl.b
+        ), buck AS (
+          SELECT proj.vec_id, any_value(q.v) AS v,
+                 SUM(CASE WHEN proj.s > 0
+                          THEN CAST(1 AS BIGINT) << proj.b ELSE 0 END)
+                   AS bucket
+          FROM proj JOIN q ON q.vec_id = proj.vec_id
+          GROUP BY proj.vec_id
+        )"""
+
+
+_TOPK_TAIL = """
+        agg AS (
+          SELECT query_id, vec_id, MAX(sim) AS sim FROM scored
+          GROUP BY query_id, vec_id
+        ), ranked AS (
+          SELECT query_id, vec_id, sim,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, vec_id ASC)
+                      AS INTEGER) AS rank
+          FROM agg
+        )
+        SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def ann_lsh_topk_sql(table: str = "embeddings", bits: int = 4,
+                     dim: int = 64, k: int = 10,
+                     n_queries: int = 5) -> str:
+    """Mirror of lsh_bucket_topk(portable=True, multiprobe=True):
+    quantized sign-LSH buckets, query-side Hamming-1 multiprobe,
+    exact cosine ranking of bucket candidates."""
+    return f"""
+        WITH {_bucket_ctes(table, bits, dim)},
+        probes AS (
+          SELECT vec_id AS query_id, bucket FROM buck
+          WHERE vec_id < {n_queries}
+          UNION ALL
+          SELECT b2.vec_id, xor(b2.bucket, CAST(1 AS BIGINT) << fb.i)
+          FROM buck b2,
+               (SELECT unnest(generate_series(0, {bits - 1})) AS i) fb
+          WHERE b2.vec_id < {n_queries}
+        ), scored AS (
+          SELECT p.query_id, c.vec_id,
+                 round(list_cosine_similarity(qe.v, c.v), 6) AS sim
+          FROM probes p
+          JOIN buck c ON c.bucket = p.bucket
+          JOIN e qe ON qe.vec_id = p.query_id
+          WHERE c.vec_id <> p.query_id
+        ),{_TOPK_TAIL.format(k=k)}
+    """
+
+
+def cosine_near_pairs_blocked_sql(table: str = "embeddings",
+                                  threshold: float = 0.4, bits: int = 8,
+                                  dim: int = 64) -> str:
+    """Mirror of cosine_near_pairs(blocked=True, portable=True,
+    multiprobe=True): pairs sharing a bucket (one side probing its
+    Hamming-1 buckets), verified by exact cosine >= threshold."""
+    return f"""
+        WITH {_bucket_ctes(table, bits, dim)},
+        pb AS (
+          SELECT vec_id, bucket FROM buck
+          UNION ALL
+          SELECT b2.vec_id, xor(b2.bucket, CAST(1 AS BIGINT) << fb.i)
+          FROM buck b2,
+               (SELECT unnest(generate_series(0, {bits - 1})) AS i) fb
+        ), pairs AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM buck a
+          JOIN pb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT p.id_a, p.id_b,
+               round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+        FROM pairs p
+        JOIN e ea ON ea.vec_id = p.id_a
+        JOIN e eb ON eb.vec_id = p.id_b
+        WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
+    """
+
+
+def ann_ivf_topk_sql(table: str = "embeddings", n_centroids: int = 16,
+                     n_probe: int = 4, k: int = 10,
+                     n_queries: int = 5) -> str:
+    """Mirror of ivf_topk(lloyd_iters=0): strided deterministic seed
+    centroids, rounded-cosine argmax list assignment, top-n_probe list
+    probing, exact cosine ranking of probed candidates."""
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+        ), st AS (
+          SELECT greatest(COUNT(*) // {n_centroids}, 1) AS step FROM e
+        ), cent AS (
+          SELECT e.vec_id, e.v FROM e, st
+          WHERE e.vec_id % st.step = 0
+          ORDER BY e.vec_id LIMIT {n_centroids}
+        ), cl AS (
+          SELECT list(v ORDER BY vec_id) AS cents FROM cent
+        ), scores AS (
+          SELECT e.vec_id, e.v,
+                 [round(list_cosine_similarity(e.v, c), 6)
+                  for c in cl.cents] AS s
+          FROM e, cl
+        ), assigned AS (
+          SELECT vec_id, v, s,
+                 CAST(list_position(s, list_max(s)) AS INTEGER) AS list_id
+          FROM scores
+        ), probes AS (
+          SELECT vec_id AS query_id, i AS list_id
+          FROM (
+            SELECT a.vec_id, u.i,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY a.s[u.i] DESC, u.i ASC) AS pr
+            FROM assigned a,
+                 (SELECT unnest(generate_series(1, {n_centroids})) AS i) u
+            WHERE a.vec_id < {n_queries}
+          ) WHERE pr <= {n_probe}
+        ), scored AS (
+          SELECT p.query_id, c.vec_id,
+                 round(list_cosine_similarity(qe.v, c.v), 6) AS sim
+          FROM probes p
+          JOIN assigned c ON c.list_id = p.list_id
+          JOIN e qe ON qe.vec_id = p.query_id
+          WHERE c.vec_id <> p.query_id
+        ),{_TOPK_TAIL.format(k=k)}
+    """

@@ -126,3 +126,58 @@ def test_winnowing_guarantee(spark):
     assert fps[3] == set() and fps[4] == set()
     # selection actually compresses: far fewer fingerprints than grams
     assert 0 < len(fps[2]) < 150 - 7
+
+
+def test_winnowing_fast_matches_portable_contract(spark):
+    """winnow_fingerprints_fast (xxhash64 production form) keeps the
+    winnowing guarantee and the selection density of the portable md5
+    form on the same corpus: every substring-sharing pair detected by
+    the portable form is detected by the fast form (and vice versa),
+    and per-doc fingerprint counts track closely (the ~2/(w+1)
+    density is hash-family-independent in expectation)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pdfextraction_spark.functions.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_fast,
+    )
+
+    rng = np.random.default_rng(47)
+
+    def rand_text(n):
+        return "".join(chr(97 + int(c)) for c in rng.integers(0, 26, size=n))
+
+    # 30 docs; every even doc shares a 40-char block with its successor
+    rows, did = [], 0
+    for b in range(15):
+        shared = rand_text(40)
+        rows.append((did, rand_text(50) + shared + rand_text(50))); did += 1
+        rows.append((did, rand_text(70) + shared + rand_text(30))); did += 1
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = df.select(
+        "doc_id",
+        winnow_fingerprints(F.col("text"), k=8, window=4).alias("slow"),
+        winnow_fingerprints_fast(F.col("text"), k=8, window=4).alias("fast"),
+    ).collect()
+    slow = {r.doc_id: set(r.slow) for r in out}
+    fast = {r.doc_id: set(r.fast) for r in out}
+
+    def overlap_pairs(fp):
+        ids = sorted(fp)
+        return {
+            (a, b)
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if fp[a] & fp[b]
+        }
+
+    planted = {(2 * b, 2 * b + 1) for b in range(15)}
+    sp, fp_ = overlap_pairs(slow), overlap_pairs(fast)
+    assert planted <= sp and planted <= fp_  # guarantee holds for both
+    # no rampant false positives in either family
+    assert len(sp - planted) <= 2 and len(fp_ - planted) <= 2
+    # density parity: counts within 25% per doc
+    for d in slow:
+        assert abs(len(slow[d]) - len(fast[d])) <= max(
+            3, 0.25 * len(slow[d])
+        ), d
