@@ -548,6 +548,20 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(gen_media_fixture(spark), num_partitions=8)
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video path: REAL animated-GIF decode (pure LZW
+    codec, validated against Java ImageIO) -> per-sampled-frame pixel
+    stats + content digest; undecodable containers degrade to the
+    deterministic byte-digest fake (decoded=false)."""
+    from pdfextraction_spark.functions.multimodal import (
+        gen_media_fixture,
+        sample_frames,
+    )
+
+    return sample_frames(gen_media_fixture(spark), every_k=5,
+                         num_partitions=8)
+
+
 def q_schema_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Step-2 field-schema normalization (openai_service.py:688-718):
     three historical payload shapes -> one canonical serialized
@@ -717,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_corrections": q_apply_corrections,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
         "fence_json": q_fence_json,
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_sketch": q_simhash_sketch,
@@ -1132,6 +1147,11 @@ def _golden_oracle_sql() -> dict[str, str]:
         "audio_features": f"""
             SELECT media_id, sample_rate, duration_sec, rms, zcr, peak
             FROM read_parquet('{t("audio_features")}')
+        """,
+        "video_frames": f"""
+            SELECT media_id, frame_idx, frame_mean, frame_std,
+                   frame_digest, decoded
+            FROM read_parquet('{t("video_frames")}')
         """,
         "training_filter": f"""
             WITH feat AS (

@@ -30,7 +30,7 @@ import pandas as pd
 
 from fixtures.generate import FIXTURE_VERSION, gen_transcripts, golden_frame
 
-GOLDEN_VERSION = 8  # v8: + anomalies/corrections goldens (r3 items 5-6)
+GOLDEN_VERSION = 9  # v9: + real-GIF video_frames golden (r3 item 9)
 
 SPAN_SEP = "|"
 US = "\x1f"
@@ -388,15 +388,37 @@ def _corrections_golden(turns_golden: pd.DataFrame,
 def _media_golden():
     """Golden multimodal features: decode every fixture blob with the
     codecs directly (no Spark, no operator code paths) and recompute
-    the feature formulas inline. Returns (image_df, audio_df)."""
+    the feature formulas inline. Returns (image_df, audio_df,
+    video_df); video covers BOTH the real GIF decode and the
+    fake-container degrade path (every_k=5, matching the driver
+    query)."""
+    import hashlib
+
+    from pdfextraction_spark.functions.gif import GIF_MAGIC, decode_gif
     from pdfextraction_spark.functions.multimodal import (
+        _fake_pixel_stats,
         decode_audio_real,
+        frame_stats,
         gen_media_rows,
     )
     from pdfextraction_spark.functions.png import ahash64, decode_png
 
-    img_rows, aud_rows = [], []
+    img_rows, aud_rows, vid_rows = [], [], []
     for media_id, _conv, _turn, kind, blob, meta in gen_media_rows():
+        if kind == "video":
+            data = bytes(blob)
+            if data[:4] == GIF_MAGIC:
+                frames, _pal = decode_gif(data)
+                for fi in range(0, len(frames), 5):
+                    m, s, d = frame_stats(frames[fi])
+                    vid_rows.append((media_id, fi, m, s, d, True))
+            else:
+                m, s, _ = _fake_pixel_stats(data)
+                for fi in range(0, int(meta[3]), 5):
+                    d = hashlib.sha256(
+                        data + fi.to_bytes(4, "big")
+                    ).hexdigest()[:16]
+                    vid_rows.append((media_id, fi, m, s, d, False))
         if kind == "image":
             px = decode_png(bytes(blob)).astype(np.float64)
             img_rows.append(
@@ -429,7 +451,15 @@ def _media_golden():
     aud["media_id"] = aud["media_id"].astype(np.int64)
     aud["sample_rate"] = aud["sample_rate"].astype(np.int32)
     aud["peak"] = aud["peak"].astype(np.int32)
-    return img, aud
+    vid = pd.DataFrame(
+        vid_rows,
+        columns=["media_id", "frame_idx", "frame_mean", "frame_std",
+                 "frame_digest", "decoded"],
+    )
+    vid["media_id"] = vid["media_id"].astype(np.int64)
+    vid["frame_idx"] = vid["frame_idx"].astype(np.int32)
+    vid["decoded"] = vid["decoded"].astype(bool)
+    return img, aud, vid
 
 
 def golden_dir(tier: str, cache_dir: str = "/tmp/pdfx_fixtures") -> str:
@@ -476,9 +506,10 @@ def ensure_golden(tier: str, cache_dir: str = "/tmp/pdfx_fixtures") -> str:
     _schema_norm_golden().to_parquet(
         os.path.join(tmp, "schema_norm.parquet"), index=False
     )
-    img, aud = _media_golden()
+    img, aud, vid = _media_golden()
     img.to_parquet(os.path.join(tmp, "image_features.parquet"), index=False)
     aud.to_parquet(os.path.join(tmp, "audio_features.parquet"), index=False)
+    vid.to_parquet(os.path.join(tmp, "video_frames.parquet"), index=False)
     try:
         os.replace(tmp, path)
     except OSError:

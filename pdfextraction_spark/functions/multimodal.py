@@ -11,9 +11,10 @@ Decode status by modality:
   the library they need (PIL).
 - **audio**: REAL for PCM WAV via stdlib ``wave``; other formats raise
   NotImplementedError (libsndfile/ffmpeg).
-- **video**: no container format is implementable without codecs, so
-  frame sampling uses a deterministic fake frame digest; the
-  explode/batch plumbing is real.
+- **video**: REAL for animated GIF via the dependency-free LZW codec
+  (functions/gif.py, validated against Java ImageIO both directions);
+  frame sampling decodes actual pixels. Other containers (mp4/webm)
+  need ffmpeg and degrade to the deterministic byte-digest fake.
 
 Unsupported blobs inside a supported operator degrade to
 deterministic byte-stats rather than killing the Arrow batch.
@@ -199,41 +200,87 @@ def resize_images(media: DataFrame, max_side: int = 256,
     return planned.mapInPandas(fn, ddl)
 
 
-def sample_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
+def frame_stats(px: np.ndarray) -> tuple:
+    """(mean, std, digest16) of one decoded frame — shared by the
+    operator and the golden writer so feature formulas live once."""
+    f = px.astype(np.float64)
+    return (
+        float(f.mean()),
+        float(f.std()),
+        hashlib.sha256(np.ascontiguousarray(px).tobytes()).hexdigest()[:16],
+    )
+
+
+def sample_frames(media: DataFrame, every_k: int = 10,
+                  num_partitions: int = 32) -> DataFrame:
     """Video frame sampling: one output row per sampled frame index
-    (0, k, 2k, ...) — the explode/batch plumbing is real; the frame
-    blob is the deterministic fake (sha of data+frame_idx)."""
-    ddl = "media_id long, frame_idx int, frame_digest string"
+    (0, k, 2k, ...). GIF blobs take the REAL path — LZW-decode once
+    per item, then per-sampled-frame pixel mean/std and a digest of
+    the actual pixel bytes (decoded=true). Non-GIF containers degrade
+    to the deterministic byte-digest fake with n_frames taken from
+    metadata (decoded=false) — the batch never dies on a format this
+    container can't decode."""
+    ddl = ("media_id long, frame_idx int, frame_mean double, "
+           "frame_std double, frame_digest string, decoded boolean")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gif import GIF_MAGIC, decode_gif
+
         for pdf in batches:
-            ids, idxs, digs = [], [], []
+            ids, idxs, means, stds, digs, dec = [], [], [], [], [], []
             for mid, data, n_frames in zip(
                 pdf["media_id"], pdf["data"], pdf["n_frames"]
             ):
+                frames = None
+                if bytes(data[:4]) == GIF_MAGIC:
+                    try:
+                        frames, _pal = decode_gif(bytes(data))
+                    except Exception:  # unsupported variant / corrupt
+                        frames = None  # degrade, never kill the batch
+                if frames is not None:
+                    for fi in range(0, len(frames), every_k):
+                        m, s, d = frame_stats(frames[fi])
+                        ids.append(mid); idxs.append(fi)
+                        means.append(m); stds.append(s)
+                        digs.append(d); dec.append(True)
+                    continue
                 for fi in range(0, int(n_frames), every_k):
-                    ids.append(mid)
-                    idxs.append(fi)
+                    m, s, _ = _fake_pixel_stats(bytes(data))
+                    ids.append(mid); idxs.append(fi)
+                    means.append(m); stds.append(s)
                     digs.append(
-                        hashlib.sha256(bytes(data) + fi.to_bytes(4, "big")).hexdigest()[:16]
+                        hashlib.sha256(
+                            bytes(data) + fi.to_bytes(4, "big")
+                        ).hexdigest()[:16]
                     )
+                    dec.append(False)
             yield pd.DataFrame(
                 {"media_id": ids,
                  "frame_idx": pd.array(idxs, dtype="int32"),
-                 "frame_digest": digs}
+                 "frame_mean": np.asarray(means, dtype=np.float64),
+                 "frame_std": np.asarray(stds, dtype=np.float64),
+                 "frame_digest": digs,
+                 "decoded": dec}
             )
 
-    pruned = media.filter(F.col("kind") == "video").select(
-        "media_id", "data", F.col("meta.n_frames").alias("n_frames")
+    pruned = (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id", "data", F.col("meta.n_frames").alias("n_frames")
+        )
+        .repartition(num_partitions, F.xxhash64("media_id"))
     )
     return pruned.mapInPandas(fn, ddl)
 
 
 def gen_media_rows(n_items: int = 60, seed: int = 42) -> list:
     """Deterministic media fixture rows (no Spark). Image blobs are
-    REAL PNGs (pure-NumPy codec) and audio blobs are REAL PCM WAVs
-    (stdlib wave), so both decode paths exercise actual samples; video
-    blobs stay deterministic fakes (no video codec exists here)."""
+    REAL PNGs (pure-NumPy codec), audio blobs are REAL PCM WAVs
+    (stdlib wave), and video blobs are REAL animated GIFs (pure LZW
+    codec) — all three decode paths exercise actual samples. Every
+    6th video stays an undecodable fake container to keep the
+    degrade-don't-die path exercised."""
+    from .gif import encode_gif
     from .png import encode_png
 
     rng = np.random.default_rng(seed)
@@ -251,9 +298,7 @@ def gen_media_rows(n_items: int = 60, seed: int = 42) -> list:
             ).astype(np.int16)
             blob = bytearray(encode_wav(samples, 16000))
             meta = (None, None, 16000, None, "wav")
-            rows.append((i, f"conv-{i % 7:06d}", i % 5, kind, blob, meta))
-            continue
-        if kind == "image":
+        elif kind == "image":
             w = int(rng.integers(12, 48))
             h = int(rng.integers(12, 48))
             ch = (1, 3, 4)[int(rng.integers(0, 3))]
@@ -262,15 +307,21 @@ def gen_media_rows(n_items: int = 60, seed: int = 42) -> list:
             px[: h // 2, :, 0] = np.linspace(0, 255, w, dtype=np.uint8)
             blob = bytearray(encode_png(px))
             meta = (w, h, None, None, "png")
-        else:
+        elif i % 18 == 17:  # fake container: degrade path stays tested
             blob = bytearray(encode_fake_blob(kind, seed * 10007 + i))
-            meta = (
-                None,
-                None,
-                16000 if kind == "audio" else None,
-                int(rng.integers(30, 300)) if kind == "video" else None,
-                {"audio": "fake_wav", "video": "fake_mp4"}[kind],
-            )
+            meta = (None, None, None, int(rng.integers(30, 120)), "fake_mp4")
+        else:
+            w = int(rng.integers(12, 32))
+            h = int(rng.integers(12, 32))
+            n_frames = int(rng.integers(8, 40))
+            base = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            frames = []
+            for fi in range(n_frames):
+                fr = np.roll(base, fi, axis=1)  # motion: horizontal pan
+                fr[0, :] = (np.arange(w) * 3 + fi * 11) % 256  # per-frame row
+                frames.append(fr.astype(np.uint8))
+            blob = bytearray(encode_gif(frames))
+            meta = (w, h, None, n_frames, "gif")
         rows.append((i, f"conv-{i % 7:06d}", i % 5, kind, blob, meta))
     return rows
 
