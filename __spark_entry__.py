@@ -271,14 +271,13 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al. 2003 rolling-hash
     selection) per document — the substring-match-guaranteeing
     fingerprint family, alongside the whole-doc hash."""
-    from pdfextraction_spark.functions.text import winnow_fingerprints
+    from pdfextraction_spark.functions.text import winnowed
 
     docs = _t(spark, sf_dir, "documents")
-    fps = winnow_fingerprints(F.col("text"), k=8, window=4)
-    return docs.select(
+    return winnowed(docs, k=8, window=4, out_col="_fps").select(
         "doc_id",
-        F.array_join(fps, ",").alias("fingerprints"),
-        F.size(fps).cast("long").alias("n_fps"),
+        F.array_join("_fps", ",").alias("fingerprints"),
+        F.size("_fps").cast("long").alias("n_fps"),
     )
 
 
@@ -672,6 +671,50 @@ def q_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components (distributed
+    min-label propagation) over the exact n-gram Jaccard pair graph —
+    cluster id, size, and the canonical keep-one doc per group. The
+    DuckDB oracle recomputes the components exactly via WITH RECURSIVE
+    transitive closure."""
+    from pdfextraction_spark.functions.dedup import ngram_jaccard_pairs
+    from pdfextraction_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    return dedup_clusters(docs, pairs)
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: content-hash uniform keeps
+    the same rows regardless of partitioning/engine (md5-32 family),
+    with per-stratum fractions riding a literal CASE — no shuffle,
+    pushdown-friendly."""
+    from pdfextraction_spark.functions.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(
+        docs, fraction=0.3, key_col="doc_id", stratum_col="source",
+        fractions={"src0": 1.0, "src1": 0.05},
+    ).select("doc_id", F.col("source").alias("stratum"))
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: the reference's X9-X11 value patterns
+    (spatial_preprocessor.py:374-384) plus email, extended from
+    match-testing to corpus redaction with per-kind counts — chained
+    regexp_replace, pure codegen."""
+    from pdfextraction_spark.functions.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[counts[k].alias(f"n_{k}") for k in ("email", "ssn", "phone", "date")],
+        redact_pii(F.col("text")).alias("redacted"),
+    )
+
+
 def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data gate: extraction -> language-ID +
     quality scoring on the EXTRACTED text -> filtered corpus rows."""
@@ -739,6 +782,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
         "cosine_near_pairs_blocked": q_cosine_blocked,
+        "dedup_clusters": q_dedup_clusters,
+        "hash_sample": q_hash_sample,
+        "redact_pii": q_redact_pii,
         "training_filter": q_training_filter,
     }
 
@@ -1010,6 +1056,11 @@ def _portable_oracle_sql() -> dict[str, str]:
         "cosine_near_pairs_blocked": P.cosine_near_pairs_blocked_sql(
             threshold=0.4, bits=4
         ),
+        "dedup_clusters": P.dedup_clusters_sql(threshold=0.2),
+        "hash_sample": P.hash_sample_sql(
+            fraction=0.3, fractions={"src0": 1.0, "src1": 0.05}
+        ),
+        "redact_pii": P.redact_pii_sql(),
     }
 
 

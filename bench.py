@@ -180,6 +180,179 @@ def run_scaling(parquet: str, pair=SCALE_PAIR) -> dict:
     return res
 
 
+def _force(df) -> None:
+    """Force FULL evaluation of every output column. df.count() lets
+    Catalyst prune projection-only queries down to a bare scan
+    (token_stats et al. would be timed as parquet row counts);
+    XOR-folding a hash of every column defeats pruning for the cost of
+    one cheap aggregate and cannot overflow under ANSI mode.
+    (Methodology change in round 3 — earlier rounds' per-query times
+    undercounted projection-only queries.)"""
+    from pyspark.sql import functions as SF
+
+    df.select(
+        SF.bit_xor(SF.xxhash64(*[SF.col(c) for c in df.columns]))
+    ).collect()
+
+
+def production_queries() -> dict:
+    """Bench-only overrides: the same operators as the driver queries
+    but with the PRODUCTION hash families (xxhash64 longs, Gaussian
+    hyperplanes, Lloyd-refined IVF). The driver queries deliberately
+    run the portable md5 family so the DuckDB oracle can re-derive
+    them end to end — md5-per-shingle is the portability tax, not the
+    plan you'd ship at 100 TB. The bench certifies the production
+    plan; correctness certifies the portable pipeline; pytest pins the
+    two families to the same contracts (test_portable_oracles.py)."""
+    from pyspark.sql import functions as SF
+
+    from pdfextraction_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+    from pdfextraction_spark.functions.similarity import (
+        cosine_near_pairs,
+        ivf_topk,
+        lsh_bucket_topk,
+    )
+
+    def _docs(spark, sf_dir):
+        return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def _emb(spark, sf_dir):
+        return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def _queries(spark, sf_dir):
+        e = _emb(spark, sf_dir)
+        return e.filter(SF.col("vec_id") < 5).select(
+            SF.col("vec_id").alias("query_id"), "embedding"
+        )
+
+    return {
+        "minhash_lsh_pairs": lambda s, d: minhash_lsh_pairs(
+            _docs(s, d), threshold=0.2
+        ),
+        "simhash_pairs": lambda s, d: simhash_near_pairs(
+            _docs(s, d), max_hamming=3
+        ),
+        "cosine_near_pairs_blocked": lambda s, d: cosine_near_pairs(
+            _emb(s, d), threshold=0.4, blocked=True, bits=4
+        ),
+        "ann_lsh_topk": lambda s, d: lsh_bucket_topk(
+            _emb(s, d), _queries(s, d), k=10, bits=4
+        ),
+        "ann_ivf_topk": lambda s, d: ivf_topk(
+            _emb(s, d), _queries(s, d), k=10, n_centroids=16, n_probe=4
+        ),
+    }
+
+
+# queries whose input-size growth we certify (the dedup/ANN family —
+# the ops whose naive forms go quadratic); timed at two sf tiers
+GROWTH_QUERIES = [
+    "dedup_exact",
+    "ngram_jaccard",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "cosine_near_pairs_blocked",
+    "winnow_fingerprints",
+    "ann_lsh_topk",
+]
+
+
+def run_sf_growth(tiers=("/root/testdata/sf0.01", "/root/testdata/sf0.1"),
+                  n_runs: int = 3) -> dict:
+    """Measure how the dedup/ANN family grows with input size
+    (VERDICT r2 item 8): run each query at two sf tiers, fit the
+    growth exponent e = log(t_hi/t_lo) / log(n_hi/n_lo) against the
+    query's own input-table row ratio. Near-linear (e ~ 1) is the
+    evidence that the blocking keeps these off the quadratic path;
+    exponents < 1 mean fixed overheads still dominate at these sizes.
+    Writes SF_GROWTH.json (committed) which BENCH.md renders."""
+    import math
+
+    import __spark_entry__ as entrymod
+    from pdfextraction_spark.session import build_session
+    from pyspark.sql import functions as SF
+
+    spark = build_session("bench-growth", master=f"local[{CPUS}]",
+                          shuffle_partitions=CPUS)
+    force = _force
+    qs = {**entrymod.queries(), **production_queries()}
+    table_for = {q: ("embeddings" if q.startswith(("ann_", "cosine_"))
+                     else "documents") for q in GROWTH_QUERIES}
+    rows = {}
+    for d in tiers:
+        for t in ("documents", "embeddings"):
+            rows[(d, t)] = (
+                spark.read.parquet(os.path.join(d, f"{t}.parquet")).count()
+            )
+    # warmup: run every query once at the small tier (codegen, readers)
+    for q in GROWTH_QUERIES:
+        force(qs[q](spark, tiers[0]))
+    out = {"tiers": list(tiers), "n_runs": n_runs, "queries": {}}
+    for q in GROWTH_QUERIES:
+        walls = {}
+        for d in tiers:
+            ws = []
+            for _ in range(n_runs):
+                t0 = time.time()
+                force(qs[q](spark, d))
+                ws.append(time.time() - t0)
+            walls[d] = sorted(ws)[len(ws) // 2]
+        t = table_for[q]
+        n_lo, n_hi = rows[(tiers[0], t)], rows[(tiers[1], t)]
+        exp = (math.log(walls[tiers[1]] / walls[tiers[0]])
+               / math.log(n_hi / n_lo))
+        out["queries"][q] = {
+            "input_table": t,
+            "rows": [n_lo, n_hi],
+            "wall_sec": [round(walls[tiers[0]], 3),
+                         round(walls[tiers[1]], 3)],
+            "exponent": round(exp, 3),
+        }
+    spark.stop()
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "SF_GROWTH.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    return out
+
+
+def _sf_growth_md_lines() -> list:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "SF_GROWTH.json")
+    if not os.path.exists(path):
+        return []
+    try:
+        with open(path) as f:
+            g = json.load(f)
+    except ValueError:
+        return []
+    lines = [
+        "",
+        "## Input-size growth (dedup/ANN family, measured)",
+        "",
+        f"Same queries at {g['tiers'][0]} vs {g['tiers'][1]} (medians of "
+        f"{g['n_runs']} runs; `python bench.py --sf-growth` regenerates "
+        "SF_GROWTH.json). Exponent e fits wall ~ n^e against the query's",
+        "own input-table row ratio: e ~ 1 = near-linear (the blocking",
+        "holds); e < 1 = fixed overheads still dominate at these sizes;",
+        "the quadratic failure mode would read e ~ 2.",
+        "",
+        "| query | input rows | wall lo->hi (s) | exponent |",
+        "| --- | --- | --- | --- |",
+    ]
+    for q, r in g["queries"].items():
+        lines.append(
+            f"| {q} | {r['rows'][0]}->{r['rows'][1]} "
+            f"| {r['wall_sec'][0]:.2f}->{r['wall_sec'][1]:.2f} "
+            f"| {r['exponent']:.2f} |"
+        )
+    return lines
+
+
 def _update_history(result: dict) -> list:
     """Append this run to BENCH_HISTORY.json (committed) — the headline
     is only meaningful across runs on this noisy host, so BENCH.md
@@ -299,6 +472,7 @@ def write_bench_md(result: dict, history: list | None = None) -> None:
                 f"| {h.get('unique_text_tps') or 0:,.0f} "
                 f"| {h.get('efficiency', '?')} |"
             )
+    lines += _sf_growth_md_lines()
     lines += [
         "",
         "Note: ngram_jaccard pays one extra aggregation for the",
@@ -326,25 +500,14 @@ def main() -> None:
 
     spark = build_session("bench-queries", master=f"local[{CPUS}]",
                           shuffle_partitions=CPUS)
-    qs = entrymod.queries()
+    qs = {**entrymod.queries(), **production_queries()}
     # untimed warmup: JVM codegen + parquet reader init would otherwise
     # be charged to whichever query runs first
     qs["group_stats"](spark, SF_DIR).count()
     qs["sessionize_events"](spark, SF_DIR).count()
     from pyspark.sql import functions as SF
 
-    def force(df):
-        """Force FULL evaluation of every output column. df.count()
-        lets Catalyst prune projection-only queries down to a bare
-        scan (token_stats et al. would be timed as parquet row
-        counts); hashing every column defeats pruning for the cost of
-        one cheap aggregate. (Methodology change in round 3 — earlier
-        rounds' per-query times undercounted projection-only
-        queries.)"""
-        df.select(
-            SF.sum(SF.xxhash64(*[SF.col(c) for c in df.columns]))
-        ).collect()
-
+    force = _force
     times = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -353,19 +516,15 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
     # production winnowing variant (xxhash64 — not SQL-portable, so
     # not a driver query; recall-pinned in pytest, timed here)
-    from pdfextraction_spark.functions.text import winnow_fingerprints_fast
+    from pdfextraction_spark.functions.text import winnowed
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     t0 = time.time()
     force(
-        docs.select(
+        winnowed(docs, k=8, window=4, fast=True, out_col="_fps").select(
             "doc_id",
             SF.array_join(
-                SF.transform(
-                    winnow_fingerprints_fast(SF.col("text"), k=8, window=4),
-                    lambda v: v.cast("string"),
-                ),
-                ",",
+                SF.transform(SF.col("_fps"), lambda v: v.cast("string")), ","
             ).alias("fingerprints"),
         )
     )
@@ -430,5 +589,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--extract-worker":
         extract_worker(sys.argv[2], sys.argv[3], sys.argv[4])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--sf-growth":
+        run_sf_growth()
     else:
         main()

@@ -1,0 +1,58 @@
+"""Deterministic hash-based sampling for training-data curation.
+
+`df.sample()` is seed-dependent per partitioning and not reproducible
+across engines or re-partitions; curation pipelines want CONTENT-
+DETERMINISTIC sampling — the same row is always in or out, no matter
+the cluster layout, so reruns, resumes, and audits agree. Standard
+technique: map a stable key through a hash to a uniform [0,1) value
+and keep rows below the target fraction.
+
+The hash is the portable md5 family (functions/dedup.py stance):
+u = int(md5(key)[:8 hex], 16) / 2^32 — bit-identical in any engine
+with md5(), so the DuckDB oracle reproduces the exact sample. For
+Spark-only pipelines, xxhash64 is the cheaper swap (same shape,
+different family). Everything is a narrow projection + filter —
+no shuffle, fully pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def hash_uniform(key: Column) -> Column:
+    """Deterministic uniform [0,1) from a key column: first 8 md5 hex
+    chars as a 32-bit int over 2^32. DuckDB mirror:
+    CAST(('0x' || substring(md5(key), 1, 8))::BIGINT... (via
+    strpos/shift, see oracle/portable_sql.py)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.encode(key.cast("string"), "UTF-8")), 1, 8),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+
+
+def hash_sample(df: DataFrame, fraction: float,
+                key_col: str = "doc_id",
+                stratum_col: Optional[str] = None,
+                fractions: Optional[Dict[str, float]] = None) -> DataFrame:
+    """Keep each row iff hash_uniform(key) < its fraction.
+
+    Uniform mode: one global ``fraction``. Stratified mode: pass
+    ``stratum_col`` + ``fractions`` (stratum -> fraction; missing
+    strata fall back to ``fraction``) — per-stratum rates ride a
+    broadcast map literal, still no shuffle."""
+    u = hash_uniform(F.col(key_col))
+    if stratum_col is None:
+        return df.filter(u < F.lit(fraction))
+    fr = F.lit(float(fraction))
+    expr = fr
+    for stratum, f in sorted((fractions or {}).items()):
+        expr = F.when(
+            F.col(stratum_col) == stratum, F.lit(float(f))
+        ).otherwise(expr)
+    return df.filter(u < expr)

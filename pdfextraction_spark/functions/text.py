@@ -128,6 +128,45 @@ def repair_json(col: Column) -> Column:
                     F.repeat(F.lit("]"), brackets))
 
 
+# PII patterns: SSN/phone/date extend the reference's value
+# classifiers (spatial_preprocessor.py:374-384, X9-X11) from
+# match-testing to corpus redaction; email is the standard
+# training-data addition. Order matters: SSN before phone (both are
+# digit-dash shapes; group widths disambiguate but longest-first is
+# the safe convention). Plain ERE syntax — identical semantics in
+# Spark (Java regex) and DuckDB (RE2), which the oracle relies on.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PATTERNS = (
+    ("email", EMAIL_RE, "[EMAIL]"),
+    ("ssn", SSN_RE, "[SSN]"),
+    ("phone", PHONE_RE, "[PHONE]"),
+    ("date", DATE_RE, "[DATE]"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every SSN/phone/date/email occurrence with its typed
+    placeholder — chained regexp_replace, pure codegen, applied in
+    PII_PATTERNS order (email first so its digit runs can't be
+    half-eaten by the date pattern)."""
+    out = col
+    for _name, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column) -> dict:
+    """{kind: count-column} of PII occurrences in ``col``, counted on
+    the progressively-redacted text exactly as redact_pii consumes it
+    (so an email's digits are never double-counted as a date)."""
+    out = {}
+    cur = col
+    for name, pat, repl in PII_PATTERNS:
+        out[name] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, repl)
+    return out
+
+
 def fingerprint64(col: Column) -> Column:
     """Deterministic 64-bit document fingerprint (rolling-hash
     analogue): xxhash64 of the whitespace-normalized lowercased text.
@@ -136,19 +175,72 @@ def fingerprint64(col: Column) -> Column:
     return F.xxhash64(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
 
 
-def winnow_fingerprints(col: Column, k: int = 8, window: int = 4) -> Column:
+def winnowed(df, text_col: str = "text", k: int = 8, window: int = 4,
+             fast: bool = False, out_col: str = "fingerprints"):
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
-    SIGMOD 2003): hash every character k-gram, then keep the minimum
-    hash of each sliding window of ``window`` consecutive k-grams.
-    Guarantees every match of length >= window+k-1 shares a selected
-    fingerprint while keeping ~2/(window+1) of the grams.
+    SIGMOD 2003) as a DataFrame transform: hash every character
+    k-gram, keep the minimum hash of each sliding window of ``window``
+    consecutive k-grams. Guarantees every match of length >=
+    window+k-1 shares a selected fingerprint while keeping
+    ~2/(window+1) of the grams. Appends ``out_col`` (sorted distinct
+    fingerprints; md5-prefix strings, or xxhash64 longs with
+    ``fast=True`` — the production family, recall-pinned against the
+    portable one in tests).
 
-    Pure column expressions (transform over index sequences — one
-    codegen stage, no UDF). Hashes via md5-prefix so the identical
-    expression runs on any SQL engine (the DuckDB oracle mirrors it
-    verbatim); ``winnow_fingerprints_fast`` is the xxhash64 production
-    form. Returns a sorted array of distinct selected fingerprints."""
-    return _winnow(
+    WHY a df-transform and not one Column expression: higher-order
+    functions are interpreted (not codegen), and an interpreted
+    lambda RE-EVALUATES every non-attribute subexpression per
+    element — a single nested expression recomputes the whole gram
+    array (plus lower()+md5) for each window position, turning
+    winnowing O(len^2 * window). Staging ``_low``/``_grams`` as real
+    projection columns makes the inner lambdas reference bound
+    attributes, restoring O(len * window); CollapseProject keeps the
+    stages separate because the staged expressions are non-cheap and
+    multiply referenced. Measured 280x at 300-char docs (round 3);
+    the pathology was previously masked by count()-pruned benching."""
+    if fast:
+        hash_fn, ddl = F.xxhash64, "array<bigint>"
+    else:
+        def hash_fn(g):
+            return F.substring(F.md5(F.encode(g, "UTF-8")), 1, 16)
+
+        ddl = "array<string>"
+    low = F.lower(F.col(text_col))
+    s1 = df.withColumn("_w_low", low).withColumn(
+        "_w_n", F.length("_w_low") - (k - 1)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.col("_w_n"), F.lit(1))),
+        lambda i: hash_fn(F.col("_w_low").substr(i, F.lit(k))),
+    )
+    s2 = s1.withColumn("_w_grams", grams)
+    g = F.col("_w_grams")
+    n = F.col("_w_n")
+    selected = F.when(n <= 0, F.array().cast(ddl)).otherwise(
+        F.when(
+            n <= window,
+            F.array(F.array_min(g)),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - (window - 1)),
+                lambda j: F.array_min(F.slice(g, j, window)),
+            )
+        )
+    )
+    return (
+        s2.withColumn(out_col, F.array_sort(F.array_distinct(selected)))
+        .drop("_w_low", "_w_n", "_w_grams")
+    )
+
+
+def winnow_fingerprints(col: Column, k: int = 8, window: int = 4) -> Column:
+    """Single-expression winnowing (portable md5 family) — SMALL
+    INPUTS ONLY: as one nested expression the interpreted HOF
+    evaluator is O(len^2 * window) (see ``winnowed``, the staged
+    df-transform pipelines must use). Kept for fixture-scale tests
+    and as the semantic reference the DuckDB oracle mirrors; output
+    is identical to ``winnowed(..., fast=False)``."""
+    return _winnow_expr(
         col, k, window,
         lambda g: F.substring(F.md5(F.encode(g, "UTF-8")), 1, 16),
         "array<string>",
@@ -157,19 +249,14 @@ def winnow_fingerprints(col: Column, k: int = 8, window: int = 4) -> Column:
 
 def winnow_fingerprints_fast(col: Column, k: int = 8,
                              window: int = 4) -> Column:
-    """Production winnowing: identical selection structure to
-    winnow_fingerprints but k-grams hashed with xxhash64 (JVM-native,
-    no md5 digest or hex materialization per position — the expensive
-    part of the portable form). A different hash family selects
-    different positions, but the winnowing guarantee is per-family:
-    any two documents sharing a substring of length >= window+k-1
-    share a selected fingerprint (recall-pinned against the portable
-    form in tests). Returns sorted distinct longs — fixed-width
-    shuffle/join keys for the downstream overlap join."""
-    return _winnow(col, k, window, F.xxhash64, "array<bigint>")
+    """Single-expression winnowing, xxhash64 family — SMALL INPUTS
+    ONLY (same caveat as winnow_fingerprints); pipelines use
+    ``winnowed(..., fast=True)``."""
+    return _winnow_expr(col, k, window, F.xxhash64, "array<bigint>")
 
 
-def _winnow(col: Column, k: int, window: int, hash_fn, ddl: str) -> Column:
+def _winnow_expr(col: Column, k: int, window: int, hash_fn,
+                 ddl: str) -> Column:
     low = F.lower(col)
     n_grams = F.length(low) - (k - 1)
     grams = F.transform(

@@ -162,6 +162,109 @@ def simhash_pairs_sql(table: str = "documents", n: int = 2,
     """
 
 
+def _ngram_pairs_sql(table: str, n: int, threshold: float) -> str:
+    """Standalone subquery yielding the exact n-gram Jaccard pairs
+    (id_a, id_b) at ``threshold`` — the same semantics the green
+    ngram_jaccard oracle checks, packaged for reuse as an edge list."""
+    return f"""
+          SELECT i.id_a, i.id_b
+          FROM (
+            WITH {_shingle_cte(table, n)},
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6)
+                    >= {threshold}
+          ) i"""
+
+
+def dedup_clusters_sql(table: str = "documents", n: int = 3,
+                       threshold: float = 0.2) -> str:
+    """Mirror of operators/graph.dedup_clusters over the exact n-gram
+    Jaccard pair graph: connected components as min-reachable-id via
+    transitive closure (WITH RECURSIVE) — exact, so it checks the
+    Spark label-propagation loop end to end."""
+    return f"""
+        WITH RECURSIVE cand AS ({_ngram_pairs_sql(table, n, threshold)}
+        ), e AS (
+          SELECT id_a AS a, id_b AS b FROM cand
+          UNION
+          SELECT id_b, id_a FROM cand
+        ), reach(node, r) AS (
+          SELECT doc_id, doc_id FROM {table}
+          UNION
+          SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node
+        ), comp AS (
+          SELECT node AS doc_id, MIN(r) AS cluster_id
+          FROM reach GROUP BY node
+        ), sizes AS (
+          SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM comp GROUP BY cluster_id
+        )
+        SELECT c.doc_id, c.cluster_id, s.cluster_size,
+               c.doc_id = c.cluster_id AS is_canonical
+        FROM comp c JOIN sizes s USING (cluster_id)
+    """
+
+
+# first 8 md5 hex chars -> 32-bit int (for the uniform sampler)
+_MD5_32 = (
+    "list_sum([CAST(strpos('" + _HEX + "', substring(md5({expr}), j, 1)) - 1 "
+    "AS BIGINT) << (4*(8-j)) for j in generate_series(1,8)])"
+)
+
+
+def hash_sample_sql(table: str = "documents", fraction: float = 0.3,
+                    stratum_col: str = "source",
+                    fractions: dict | None = None) -> str:
+    """Mirror of functions/sampling.hash_sample (stratified mode):
+    u = md5-32-bit uniform on the key, keep where u < the stratum's
+    fraction."""
+    u = _MD5_32.format(expr="CAST(doc_id AS VARCHAR)")
+    frac_expr = str(float(fraction))
+    for stratum, f in sorted((fractions or {}).items()):
+        frac_expr = (
+            f"CASE WHEN {stratum_col} = '{stratum}' THEN {float(f)} "
+            f"ELSE {frac_expr} END"
+        )
+    return f"""
+        SELECT doc_id, {stratum_col} AS stratum
+        FROM {table}
+        WHERE ({u}) / 4294967296.0 < ({frac_expr})
+    """
+
+
+def redact_pii_sql(table: str = "documents") -> str:
+    """Mirror of functions/text.redact_pii + pii_counts: chained
+    regexp_replace in PII_PATTERNS order, counts taken on the
+    progressively-redacted text."""
+    from ..functions.text import PII_PATTERNS
+
+    cur = "text"
+    selects = []
+    for name, pat, repl in PII_PATTERNS:
+        pat_sql = pat.replace("'", "''")
+        selects.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat_sql}')) AS INTEGER)"
+            f" AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{pat_sql}', '{repl}', 'g')"
+    cols = ",\n               ".join(selects)
+    return f"""
+        SELECT doc_id,
+               {cols},
+               {cur} AS redacted
+        FROM {table}
+    """
+
+
 def _plane_cte(bits: int, dim: int) -> str:
     """pl(b, d, w): md5-derived integer hyperplane components in
     [-8, 7] — mirror of similarity.det_int_planes."""

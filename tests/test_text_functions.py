@@ -128,6 +128,38 @@ def test_winnowing_guarantee(spark):
     assert 0 < len(fps[2]) < 150 - 7
 
 
+def test_winnowed_staged_equals_expression_form(spark):
+    """The staged df-transform (the O(len*w) pipeline form) must be
+    value-identical to the single-expression reference form, for both
+    hash families."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pdfextraction_spark.functions.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_fast,
+        winnowed,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, "".join(chr(97 + int(c))
+                        for c in rng.integers(0, 26, size=int(n))))
+            for i, n in enumerate([0, 3, 8, 11, 40, 200])]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    expr = df.select(
+        "doc_id",
+        winnow_fingerprints(F.col("text")).alias("slow"),
+        winnow_fingerprints_fast(F.col("text")).alias("fast"),
+    )
+    staged_slow = winnowed(df, out_col="fps")
+    staged_fast = winnowed(df, fast=True, out_col="fps")
+    e = {r.doc_id: (list(r.slow), list(r.fast)) for r in expr.collect()}
+    for r in staged_slow.collect():
+        assert list(r.fps) == e[r.doc_id][0], r.doc_id
+    for r in staged_fast.collect():
+        assert list(r.fps) == e[r.doc_id][1], r.doc_id
+
+
 def test_winnowing_fast_matches_portable_contract(spark):
     """winnow_fingerprints_fast (xxhash64 production form) keeps the
     winnowing guarantee and the selection density of the portable md5
