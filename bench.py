@@ -242,7 +242,8 @@ def production_queries() -> dict:
             _emb(s, d), _queries(s, d), k=10, bits=4
         ),
         "ann_ivf_topk": lambda s, d: ivf_topk(
-            _emb(s, d), _queries(s, d), k=10, n_centroids=16, n_probe=4
+            _emb(s, d), _queries(s, d), k=10, n_centroids=16, n_probe=4,
+            vectorized=True
         ),
     }
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -216,38 +217,140 @@ def lsh_bucket_id(vec_col, planes: Sequence[Sequence[float]],
     return bucket
 
 
-def _centroid_scores(vec_col, centroids: Sequence[Sequence[float]]):
-    """Array of cosine scores against each centroid, ROUNDED to 6dp —
-    pure column expressions, whole-stage codegen. Rounding pins the
-    downstream argmax/top-probe decisions against last-ulp drift, so
-    the assignment is reproducible across engines (the DuckDB oracle
-    computes round(list_cosine_similarity(v, c), 6)); a 1e-6 score
-    difference is far below any meaningful centroid margin."""
-    v = _as_double(vec_col)
+def _centroid_scores(vec_col, centroids: Sequence[Sequence[float]],
+                     assume_double: bool = False):
+    """Array of cosine scores against each centroid, ROUNDED to 6dp.
+    Rounding pins the downstream argmax/top-probe decisions against
+    last-ulp drift, so the assignment is reproducible across engines
+    (the DuckDB oracle computes round(list_cosine_similarity(v, c),
+    6)); a 1e-6 score difference is far below any meaningful centroid
+    margin.
+
+    ``assume_double=True``: ``vec_col`` is already a bound
+    array<double> attribute — skip the cast ``transform``. Callers
+    MUST stage the cast as a real projection column first: higher-order
+    functions are interpreted, and a non-attribute input expression
+    nested under them is re-evaluated per element/per consumer."""
+    v = vec_col if assume_double else _as_double(vec_col)
+    norm_v = _norm(v)
     scores = []
     for c in centroids:
         lit = F.array(*[F.lit(float(x)) for x in c])
         norm_c = float(np.linalg.norm(np.asarray(c, dtype=np.float64))) or 1.0
-        scores.append(F.round(_dot(v, lit) / (_norm(v) * F.lit(norm_c)), 6))
+        scores.append(F.round(_dot(v, lit) / (norm_v * F.lit(norm_c)), 6))
     return F.array(*scores)
 
 
 def ivf_assign(vec_col, centroids: Sequence[Sequence[float]]):
-    """IVF list id = argmax cosine over the centroid set."""
+    """IVF list id = argmax cosine over the centroid set.
+
+    NOTE: this duplicates the scores array in the expression tree
+    (array_position + array_max); prefer :func:`_staged_assign`, which
+    stages the scores as a bound column so they are computed once."""
     s = _centroid_scores(vec_col, centroids)
     return F.array_position(s, F.array_max(s)).cast("int")
 
 
+def _staged_assign(df: DataFrame, vec_col: str,
+                   centroids: Sequence[Sequence[float]],
+                   keep: Sequence[str] = ()) -> DataFrame:
+    """(keep..., v array<double>, list_id int) with the scoring staged:
+    the cast vector and the 16..k-score array are real projection
+    columns, so (a) the interpreted HOF scoring runs once per ROW, not
+    once per downstream consumer, and (b) a later generate/explode
+    cannot lift the scoring above itself and re-run it per element —
+    the exact pathology that made each Lloyd step pay dim x the
+    assignment cost before staging (measured 21 s -> 2 s at sf0.1)."""
+    staged = df.select(
+        *keep, _as_double(F.col(vec_col)).alias("v")
+    ).withColumn(
+        "__cs", _centroid_scores(F.col("v"), centroids, assume_double=True)
+    )
+    return staged.select(
+        *keep,
+        "v",
+        F.array_position(F.col("__cs"), F.array_max(F.col("__cs")))
+        .cast("int")
+        .alias("list_id"),
+    )
+
+
+def np_centroid_assign_udf(centroids: Sequence[Sequence[float]]):
+    """Vectorized (Arrow-batch numpy matmul) centroid assignment — the
+    PRODUCTION path. The expression form keeps the summation order
+    identical to the SQL oracle (sequential aggregate), but its plan
+    embeds n_centroids x dim literals: analysis cost grows with the
+    codebook and the approach is unusable past ~1k centroids. This
+    path broadcasts the codebook inside the UDF closure and scores a
+    whole Arrow batch with one BLAS matmul — O(batch x k x dim) flops,
+    no giant plan, arbitrary codebook size.
+
+    Tie policy matches the expression path: scores rounded to 6dp,
+    argmax first-wins (numpy argmax = first occurrence; np.round is
+    half-to-even vs Spark's half-up — they differ only for a cosine
+    landing exactly on a 5e-7 boundary, which test_dedup_similarity
+    pins as not occurring on the fixture)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    Cn[Cn == 0] = 1.0
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(x, dtype=np.float64) for x in v],
+                     dtype=np.float64)
+        Mn = np.linalg.norm(M, axis=1, keepdims=True)
+        Mn[Mn == 0] = 1.0
+        sims = np.round((M @ C.T) / (Mn * Cn[None, :]), 6)
+        return pd.Series(np.argmax(sims, axis=1) + 1, dtype="int32")
+
+    return assign
+
+
+def np_probe_lists_udf(centroids: Sequence[Sequence[float]],
+                       n_probe: int):
+    """Vectorized query-side probe selection: the 1-based ids of the
+    ``n_probe`` highest-cosine centroids, ordered best-first with ties
+    broken by smaller id (stable argsort on -score — identical to the
+    expression path's array_sort over struct(-score, id))."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    Cn[Cn == 0] = 1.0
+
+    @pandas_udf("array<int>")
+    def probe(v: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(x, dtype=np.float64) for x in v],
+                     dtype=np.float64)
+        Mn = np.linalg.norm(M, axis=1, keepdims=True)
+        Mn[Mn == 0] = 1.0
+        sims = np.round((M @ C.T) / (Mn * Cn[None, :]), 6)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe] + 1
+        return pd.Series([row.astype("int32") for row in order])
+
+    return probe
+
+
 def _lloyd_step(embeddings: DataFrame, vec_col: str,
-                centroids: List[List[float]]) -> List[List[float]]:
+                centroids: List[List[float]],
+                vectorized: bool = False) -> List[List[float]]:
     """One distributed Lloyd iteration: assign every vector to its
     nearest centroid, recompute centroids as per-list per-dimension
     means. The shuffle moves (list_id, dim, partial mean) — never
     vectors; the collect is n_centroids x dim rows. Empty lists keep
     their previous centroid."""
-    assigned = embeddings.select(
-        ivf_assign(F.col(vec_col), centroids).alias("list_id"),
-        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),
+    if vectorized:
+        staged = embeddings.select(
+            _as_double(F.col(vec_col)).alias("v"),
+            np_centroid_assign_udf(centroids)(F.col(vec_col))
+            .alias("list_id"),
+        )
+    else:
+        staged = _staged_assign(embeddings, vec_col, centroids)
+    assigned = staged.select(
+        "list_id", F.posexplode(F.col("v")).alias("pos", "val")
     )
     means = (
         assigned.groupBy("list_id", "pos")
@@ -275,6 +378,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     centroids: Optional[List[List[float]]] = None,
     lloyd_iters: int = 2,
+    vectorized: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: vectors are inverted-listed by nearest centroid;
     each query probes its n_probe nearest lists and scores only those
@@ -284,7 +388,15 @@ def ivf_topk(
     ``lloyd_iters`` distributed Lloyd iterations — each iteration is
     one Spark aggregation (posexplode -> per-(list, dim) mean) whose
     result is a bounded n_centroids x dim collect; vectors never leave
-    the cluster. Recall measured vs brute force in tests."""
+    the cluster. Recall measured vs brute force in tests.
+
+    ``vectorized=True`` (production): corpus-side assignment runs as an
+    Arrow-batch numpy matmul (np_centroid_assign_udf) instead of the
+    literal-array column expressions — same rounded-6dp/first-wins
+    assignment (equality pinned in tests), but the codebook lives in
+    the UDF closure, so the plan stays small and n_centroids can grow
+    to IVF-realistic sizes (thousands); the oracle-exact expression
+    form remains the default for the driver query."""
     if centroids is None:
         total = embeddings.count()
         step = max(total // n_centroids, 1)
@@ -297,31 +409,57 @@ def ivf_topk(
         )
         centroids = [list(map(float, r[0])) for r in rows]
         for _ in range(lloyd_iters):
-            centroids = _lloyd_step(embeddings, vec_col, centroids)
-    e = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        _as_double(F.col(vec_col)).alias("v"),
-        ivf_assign(F.col(vec_col), centroids).alias("list_id"),
-    )
-    qscore = _centroid_scores(F.col(vec_col), centroids)
-    probes = F.slice(
-        F.transform(
-            F.array_sort(
-                F.zip_with(
-                    qscore,
-                    F.sequence(F.lit(1), F.lit(len(centroids))),
-                    lambda s, i: F.struct((-s).alias("neg"), i.alias("i")),
-                )
+            centroids = _lloyd_step(embeddings, vec_col, centroids,
+                                    vectorized=vectorized)
+    if vectorized:
+        e = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            _as_double(F.col(vec_col)).alias("v"),
+            np_centroid_assign_udf(centroids)(F.col(vec_col))
+            .alias("list_id"),
+        )
+    else:
+        e = _staged_assign(
+            embeddings.select(F.col(id_col).alias("vec_id"),
+                              F.col(vec_col)),
+            vec_col, centroids, keep=("vec_id",),
+        )
+    # query side: stage qv and the score array as bound columns (the
+    # probe expression consumes the scores once, but staging keeps the
+    # n_centroids x dim literal tree out of the explode's parent)
+    if vectorized:
+        q0 = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+            np_probe_lists_udf(centroids, n_probe)(F.col(vec_col))
+            .alias("__probes"),
+        )
+    else:
+        q0 = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        ).withColumn(
+            "__qs",
+            _centroid_scores(F.col("qv"), centroids, assume_double=True),
+        )
+        probes = F.slice(
+            F.transform(
+                F.array_sort(
+                    F.zip_with(
+                        F.col("__qs"),
+                        F.sequence(F.lit(1), F.lit(len(centroids))),
+                        lambda s, i: F.struct((-s).alias("neg"),
+                                              i.alias("i")),
+                    )
+                ),
+                lambda st: st["i"],
             ),
-            lambda st: st["i"],
-        ),
-        1,
-        n_probe,
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-        F.explode(probes).alias("list_id"),
+            1,
+            n_probe,
+        )
+        q0 = q0.withColumn("__probes", probes)
+    q = q0.select(
+        "query_id", "qv", F.explode(F.col("__probes")).alias("list_id")
     )
     scored = (
         e.join(F.broadcast(q), "list_id")

@@ -194,6 +194,40 @@ class TestIVF:
         merged = bf.merge(ivf, on=["query_id", "vec_id"], suffixes=("_t", "_g"))
         assert (merged["sim_t"] == merged["sim_g"]).all()
 
+    def test_vectorized_assignment_equals_expression(self, emb):
+        """The numpy-matmul production assignment must produce the
+        exact same (vec_id -> list_id) mapping and the same ivf_topk
+        output as the literal-expression oracle path (both round to
+        6dp, argmax first-wins)."""
+        from pyspark.sql import functions as F
+
+        rows = (emb.orderBy("vec_id").limit(16)
+                .select("embedding").collect())
+        cents = [list(map(float, r[0])) for r in rows]
+        expr = S._staged_assign(
+            emb.select(F.col("vec_id"), F.col("embedding")),
+            "embedding", cents, keep=("vec_id",),
+        ).select("vec_id", "list_id").toPandas().set_index("vec_id")
+        vec = emb.select(
+            "vec_id",
+            S.np_centroid_assign_udf(cents)(F.col("embedding"))
+            .alias("list_id"),
+        ).toPandas().set_index("vec_id")
+        assert expr["list_id"].sort_index().equals(
+            vec["list_id"].sort_index().astype(expr["list_id"].dtype))
+
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        a = S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4,
+                       lloyd_iters=1, vectorized=False).toPandas()
+        b = S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4,
+                       lloyd_iters=1, vectorized=True).toPandas()
+        key = ["query_id", "vec_id"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        assert a[key + ["sim", "rank"]].equals(b[key + ["sim", "rank"]])
+
 
 @pytest.mark.slow
 def test_asof_join_formulations_agree(spark):
