@@ -715,6 +715,46 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality stats (Rae et al. 2021 A1.1):
+    char share of the top word 2-/3-gram + duplicated-2-gram share.
+    Fixture-scale ns; production uses dup-gram n of 5..10 (the n=5
+    path is pinned in pytest on crafted repetitive docs)."""
+    from pdfextraction_spark.functions.repetition import (
+        ngram_repetition_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_repetition_stats(docs, top_ns=(2, 3), dup_ns=(2,))
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by exact n-gram collision (GPT-3
+    App. C style): eval set = doc_id % 41 == 0, corpus = the rest;
+    a corpus doc is contaminated when it shares any word 3-gram with
+    the eval set (3 at fixture scale; 8..13-gram is the published
+    production window). Eval side broadcast."""
+    from pdfextraction_spark.functions.repetition import contamination_hits
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 41 == 0)
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    return contamination_hits(corpus, ev, n=3)
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota (balanced) sampling: exactly min(k, |stratum|) docs per
+    language, ranked by the content-deterministic md5-32 uniform —
+    the language-balanced training-mix selector."""
+    from pdfextraction_spark.functions.sampling import quota_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return quota_sample(docs, k=5, stratum_col="lang").select(
+        "doc_id", "lang", F.col("sample_rank").cast("long").alias(
+            "sample_rank")
+    )
+
+
 def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data gate: extraction -> language-ID +
     quality scoring on the EXTRACTED text -> filtered corpus rows."""
@@ -785,6 +825,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "hash_sample": q_hash_sample,
         "redact_pii": q_redact_pii,
+        "repetition_stats": q_repetition_stats,
+        "contamination_hits": q_contamination,
+        "quota_sample": q_quota_sample,
         "training_filter": q_training_filter,
     }
 
@@ -1061,6 +1104,11 @@ def _portable_oracle_sql() -> dict[str, str]:
             fraction=0.3, fractions={"src0": 1.0, "src1": 0.05}
         ),
         "redact_pii": P.redact_pii_sql(),
+        "repetition_stats": P.ngram_repetition_stats_sql(
+            top_ns=(2, 3), dup_ns=(2,)
+        ),
+        "contamination_hits": P.contamination_hits_sql(n=3, eval_mod=41),
+        "quota_sample": P.quota_sample_sql(k=5, stratum_col="lang"),
     }
 
 

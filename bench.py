@@ -60,6 +60,8 @@ HEADLINE = [
     # but no longer drives the bench (VERDICT r2 item 2)
     "cosine_near_pairs_blocked",
     "winnow_fingerprints",
+    "repetition_stats",
+    "contamination_hits",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -1,0 +1,179 @@
+"""Intra-document repetition stats + benchmark decontamination.
+
+Training-corpus quality gates from the public literature that the
+token/quality family (functions/text.py) doesn't cover:
+
+- ``ngram_repetition_stats``: the Gopher repetition filters (Rae et
+  al. 2021, "Scaling Language Models", App. A1.1) adapted to word
+  n-grams — fraction of characters covered by the most frequent
+  n-gram (``top{n}_frac``) and by n-grams occurring >= 2 times
+  (``dup{n}_frac``). Docs whose top2_frac/dup5_frac exceed a
+  threshold are boilerplate/spam-like and get dropped before
+  training.
+- ``contamination_hits``: benchmark decontamination by exact n-gram
+  collision (the GPT-3 appendix-C / Llama style check): a corpus doc
+  is contaminated when it shares at least one word n-gram with any
+  doc of the evaluation set. The eval side is benchmark-sized ->
+  broadcast; the corpus side never self-joins.
+
+Scale shape: everything is explode -> hash-partitioned aggregation
+with map-side combine; per-doc gram lists are built with a staged
+``transform`` over a bound token-array attribute (O(len x n) per row,
+never re-evaluated — see the staging rule in functions/similarity.py).
+Fractions divide exact integer character counts once at the end and
+round to 6dp, so the DuckDB oracle (oracle/portable_sql.py) reproduces
+them bit-for-bit — no float summation-order drift.
+
+Production dials (documented, not defaulted here): dup-gram n of
+5..10 and a 13-gram contamination window are the published configs;
+the fixture-scale driver queries use smaller n so the synthetic corpus
+has signal. For Spark-only pipelines, joining contamination on
+``xxhash64(gram)`` instead of the gram string halves the shuffle
+width (collision-safe at 64 bits for any real corpus).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Array of space-joined word n-grams from a BOUND token-array
+    attribute (callers must stage ``split(text, ' ')`` as a real
+    column first — a non-attribute input under the interpreted
+    ``transform`` would be re-evaluated per element). Empty array when
+    the doc has fewer than ``n`` tokens."""
+    if n <= 1:
+        return toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_repetition_stats(
+    docs: DataFrame,
+    top_ns: Sequence[int] = (2, 3),
+    dup_ns: Sequence[int] = (5,),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc repetition profile.
+
+    Output: (id, total_chars, then per n in ``top_ns`` a
+    ``top{n}_frac``, per n in ``dup_ns`` a ``dup{n}_frac`` +
+    ``dup{n}_grams``).
+
+    - top{n}_frac  = max over n-grams of count*len(gram) / len(text)
+      — the character share the single most repeated n-gram would
+      cover (0 when the doc has < n tokens).
+    - dup{n}_frac  = sum over n-grams with count >= 2 of
+      count*len(gram) / len(text); dup{n}_grams = how many distinct
+      n-grams repeat. Overlapping occurrences are counted per
+      occurrence (the Gopher convention), so the frac can exceed 1
+      for degenerate inputs — that is signal, not a bug.
+
+    Plan: one explode + two hash aggregations per distinct n (gram
+    counts, then per-doc max/sum with map-side combine), joined back
+    to the doc spine — no self-joins, no windows; shuffle keys are
+    (id, gram) then id."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).cast("long").alias("total_chars"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    )
+    out = base.select("doc_id", "total_chars")
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        grams = base.withColumn("g", word_ngrams(F.col("toks"), n)).select(
+            "doc_id", F.explode("g").alias("gram")
+        )
+        counted = grams.groupBy("doc_id", "gram").agg(
+            F.count("*").alias("cnt")
+        )
+        w = F.col("cnt") * F.length(F.col("gram"))
+        agg = counted.groupBy("doc_id").agg(
+            F.max(w).alias("top_chars"),
+            F.sum(F.when(F.col("cnt") >= 2, w)).alias("dup_chars"),
+            F.count(F.when(F.col("cnt") >= 2, True)).alias("dup_grams"),
+        )
+        out = out.join(agg, "doc_id", "left")
+        keep = [c for c in out.columns
+                if c not in ("top_chars", "dup_chars", "dup_grams")]
+        sel = [F.col(c) for c in keep]
+        if n in top_ns:
+            sel.append(
+                F.round(
+                    F.coalesce(F.col("top_chars"), F.lit(0))
+                    / F.col("total_chars"),
+                    6,
+                ).alias(f"top{n}_frac")
+            )
+        if n in dup_ns:
+            sel.append(
+                F.round(
+                    F.coalesce(F.col("dup_chars"), F.lit(0))
+                    / F.col("total_chars"),
+                    6,
+                ).alias(f"dup{n}_frac")
+            )
+            sel.append(
+                F.coalesce(F.col("dup_grams"), F.lit(0)).alias(
+                    f"dup{n}_grams"
+                )
+            )
+        out = out.select(*sel)
+    return out
+
+
+def contamination_hits(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus docs sharing at least one word n-gram with the eval set.
+
+    Output: (doc_id, hit_grams, doc_grams, hit_frac, min_eval_id) —
+    only contaminated docs appear; ``hit_frac`` (distinct shared grams
+    / distinct doc grams) is the threshold dial, ``min_eval_id`` names
+    one offending benchmark doc for triage.
+
+    Plan: both sides reduce to DISTINCT (id, gram); the eval side is
+    benchmark-sized and broadcast, so the corpus grams are joined
+    map-side — the only shuffles are the two distincts and the per-doc
+    count, all keyed by (id, gram) or id."""
+
+    def gram_set(df: DataFrame, idc: str, out_id: str) -> DataFrame:
+        base = df.select(
+            F.col(idc).alias(out_id),
+            F.split(F.col(text_col), " ").alias("toks"),
+        ).withColumn("g", word_ngrams(F.col("toks"), n))
+        return base.select(out_id, F.explode("g").alias("gram")).distinct()
+
+    dg = gram_set(docs, id_col, "doc_id")
+    eg = gram_set(eval_docs, eval_id_col, "eval_id")
+    totals = dg.groupBy("doc_id").agg(F.count("*").alias("doc_grams"))
+    hits = (
+        dg.join(F.broadcast(eg), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("gram").alias("hit_grams"),
+            F.min("eval_id").alias("min_eval_id"),
+        )
+    )
+    return hits.join(totals, "doc_id").select(
+        "doc_id",
+        "hit_grams",
+        "doc_grams",
+        F.round(F.col("hit_grams") / F.col("doc_grams"), 6).alias(
+            "hit_frac"
+        ),
+        "min_eval_id",
+    )

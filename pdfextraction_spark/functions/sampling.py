@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def hash_uniform(key: Column) -> Column:
@@ -56,3 +56,30 @@ def hash_sample(df: DataFrame, fraction: float,
             F.col(stratum_col) == stratum, F.lit(float(f))
         ).otherwise(expr)
     return df.filter(u < expr)
+
+
+def quota_sample(df: DataFrame, k: int, stratum_col: str,
+                 key_col: str = "doc_id") -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum — quota (balanced)
+    sampling, e.g. "5,000 docs per language" for a language-balanced
+    training mix, where per-stratum RATES can't hit a fixed budget.
+
+    Selection is content-deterministic: rows ranked by the portable
+    md5-32 uniform on the key (ties by key), so the winners are stable
+    across engines, partitionings, and reruns. Output keeps the rank
+    as ``sample_rank`` (1..k) — downstream can shrink the quota
+    without resampling.
+
+    Scale shape: ONE shuffle (hash by stratum for the window). A
+    stratum larger than an executor's ability to sort is the skew
+    case; for pathological strata pre-filter with ``hash_sample`` at
+    ~(k / |stratum|) x safety-margin first, then quota-rank the
+    survivors — both stages stay content-deterministic."""
+    u = hash_uniform(F.col(key_col))
+    w = Window.partitionBy(stratum_col).orderBy(
+        u.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -418,3 +418,106 @@ def ann_ivf_topk_sql(table: str = "embeddings", n_centroids: int = 16,
           WHERE c.vec_id <> p.query_id
         ),{_TOPK_TAIL.format(k=k)}
     """
+
+
+def _grams_cte(n: int, src: str = "documents", id_expr: str = "doc_id",
+               pred: str = "TRUE") -> str:
+    """Word n-gram rows (id, gram) from space-split text — mirror of
+    functions/repetition.word_ngrams (space-joined slices, docs with
+    < n tokens contribute nothing)."""
+    return f"""
+          SELECT {id_expr} AS doc_id,
+                 array_to_string(t[i:i+{n - 1}], ' ') AS gram
+          FROM (SELECT {id_expr}, string_split(text, ' ') AS t
+                FROM {src} WHERE {pred}) b,
+               LATERAL (SELECT unnest(generate_series(
+                          1, len(b.t) - {n - 1})) AS i) u
+          WHERE len(b.t) >= {n}
+    """
+
+
+def ngram_repetition_stats_sql(top_ns=(2, 3), dup_ns=(5,),
+                               table: str = "documents") -> str:
+    """Mirror of functions/repetition.ngram_repetition_stats: integer
+    char weights (count * gram length), one division at the end,
+    round 6 — engine-identical doubles."""
+    ns = sorted(set(top_ns) | set(dup_ns))
+    ctes = ["base AS (SELECT doc_id, CAST(length(text) AS BIGINT)"
+            f" AS total_chars FROM {table})"]
+    joins = []
+    cols = ["base.doc_id", "base.total_chars"]
+    for n in ns:
+        ctes.append(f"g{n} AS ({_grams_cte(n, src=table)})")
+        ctes.append(
+            f"c{n} AS (SELECT doc_id, gram, count(*) AS cnt"
+            f" FROM g{n} GROUP BY doc_id, gram)"
+        )
+        ctes.append(
+            f"a{n} AS (SELECT doc_id,"
+            f" max(cnt * length(gram)) AS top_chars,"
+            f" sum(cnt * length(gram)) FILTER (cnt >= 2) AS dup_chars,"
+            f" count(*) FILTER (cnt >= 2) AS dup_grams"
+            f" FROM c{n} GROUP BY doc_id)"
+        )
+        joins.append(f"LEFT JOIN a{n} ON a{n}.doc_id = base.doc_id")
+        if n in top_ns:
+            cols.append(
+                f"round(coalesce(a{n}.top_chars, 0) / base.total_chars, 6)"
+                f" AS top{n}_frac"
+            )
+        if n in dup_ns:
+            cols.append(
+                f"round(coalesce(a{n}.dup_chars, 0) / base.total_chars, 6)"
+                f" AS dup{n}_frac"
+            )
+            cols.append(
+                f"coalesce(a{n}.dup_grams, 0) AS dup{n}_grams"
+            )
+    return (
+        "WITH " + ",\n        ".join(ctes)
+        + "\n        SELECT " + ",\n               ".join(cols)
+        + "\n        FROM base " + " ".join(joins)
+    )
+
+
+def contamination_hits_sql(n: int = 3, eval_mod: int = 41,
+                           table: str = "documents") -> str:
+    """Mirror of functions/repetition.contamination_hits with the
+    driver's eval split: eval set = doc_id % eval_mod == 0, corpus =
+    the rest."""
+    return f"""
+        WITH dg AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            {_grams_cte(n, src=table, pred=f'doc_id % {eval_mod} <> 0')})
+        ), eg AS (
+          SELECT DISTINCT doc_id AS eval_id, gram FROM (
+            {_grams_cte(n, src=table, pred=f'doc_id % {eval_mod} = 0')})
+        ), totals AS (
+          SELECT doc_id, count(*) AS doc_grams FROM dg GROUP BY doc_id
+        ), hits AS (
+          SELECT dg.doc_id, count(DISTINCT dg.gram) AS hit_grams,
+                 min(eg.eval_id) AS min_eval_id
+          FROM dg JOIN eg USING (gram) GROUP BY dg.doc_id
+        )
+        SELECT h.doc_id, h.hit_grams, t.doc_grams,
+               round(h.hit_grams / t.doc_grams, 6) AS hit_frac,
+               h.min_eval_id
+        FROM hits h JOIN totals t USING (doc_id)
+    """
+
+
+def quota_sample_sql(k: int = 5, stratum_col: str = "lang",
+                     table: str = "documents") -> str:
+    """Mirror of functions/sampling.quota_sample: rank by the md5-32
+    uniform (monotone in the 32-bit int, so order by the int), ties by
+    key, keep rank <= k."""
+    u = _MD5_32.format(expr="CAST(doc_id AS VARCHAR)")
+    return f"""
+        SELECT doc_id, {stratum_col}, sample_rank FROM (
+          SELECT doc_id, {stratum_col},
+                 row_number() OVER (PARTITION BY {stratum_col}
+                                    ORDER BY ({u}) ASC, doc_id ASC)
+                 AS sample_rank
+          FROM {table}
+        ) WHERE sample_rank <= {k}
+    """

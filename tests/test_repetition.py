@@ -1,0 +1,168 @@
+"""Gopher-style repetition stats, benchmark decontamination, and quota
+sampling: hand-computed answers on crafted docs + DuckDB cross-engine
+parity (including the production dup-5-gram config the sf driver query
+doesn't exercise)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pdfextraction_spark.functions.repetition import (
+    contamination_hits,
+    ngram_repetition_stats,
+)
+from pdfextraction_spark.functions.sampling import quota_sample
+from pdfextraction_spark.oracle import portable_sql as P
+
+
+class TestRepetitionStats:
+    def test_hand_computed(self, spark):
+        """'a b a b a b' (11 chars): 2-grams 'a b'x3 + 'b a'x2 ->
+        top2 = 3*3/11, dup2 = (9+6)/11 (overlap counted per
+        occurrence, can exceed 1), 2 distinct repeating grams."""
+        docs = spark.createDataFrame(
+            [(1, "a b a b a b"), (2, "x")], "doc_id long, text string"
+        )
+        out = {
+            r.doc_id: r
+            for r in ngram_repetition_stats(
+                docs, top_ns=(2,), dup_ns=(2,)
+            ).collect()
+        }
+        assert out[1].total_chars == 11
+        assert out[1].top2_frac == round(9 / 11, 6)
+        assert out[1].dup2_frac == round(15 / 11, 6)
+        assert out[1].dup2_grams == 2
+        # a doc too short for any 2-gram still gets a (zeroed) row
+        assert out[2].top2_frac == 0.0
+        assert out[2].dup2_frac == 0.0
+        assert out[2].dup2_grams == 0
+
+    def test_dup5_production_config(self, spark):
+        """The production dup-gram n: a doc whose opening 5 tokens
+        repeat verbatim has exactly one duplicated 5-gram."""
+        text = "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5"
+        docs = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        row = ngram_repetition_stats(
+            docs, top_ns=(5,), dup_ns=(5,)
+        ).collect()[0]
+        gram_len = len("w1 w2 w3 w4 w5")
+        assert row.dup5_grams == 1
+        assert row.dup5_frac == round(2 * gram_len / len(text), 6)
+        assert row.top5_frac == round(2 * gram_len / len(text), 6)
+
+    def test_duckdb_parity_dup5(self, spark, tmp_path):
+        """Cross-engine parity for the dup-5 config on docs with real
+        repetition (the sf fixture has none at n=5)."""
+        rows = [
+            (1, "spam spam spam spam spam spam spam spam spam spam"),
+            (2, "a b c d e f g h i j a b c d e f g h i j"),
+            (3, "unique tokens only here now"),
+            (4, "xy"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = (
+            ngram_repetition_stats(docs, top_ns=(2,), dup_ns=(5,))
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            docs.toPandas(),
+        )
+        want = (
+            con.execute(
+                P.ngram_repetition_stats_sql(top_ns=(2,), dup_ns=(5,))
+            )
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for c in ("total_chars", "top2_frac", "dup5_frac", "dup5_grams"):
+            assert list(got[c]) == list(want[c]), c
+
+
+class TestContamination:
+    def test_hand_computed(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "lorem ipsum dolor sit")],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, "quick brown fox jumps")], "doc_id long, text string"
+        )
+        out = contamination_hits(docs, ev, n=3).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.doc_id == 1
+        assert r.hit_grams == 1        # 'quick brown fox'
+        assert r.doc_grams == 2
+        assert r.hit_frac == 0.5
+        assert r.min_eval_id == 100
+
+    def test_duplicate_grams_counted_once(self, spark):
+        """A gram repeated inside the doc or the eval set still counts
+        as ONE shared gram (both sides are distinct sets)."""
+        docs = spark.createDataFrame(
+            [(1, "p q r p q r")], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame(
+            [(7, "p q r"), (8, "p q r")], "doc_id long, text string"
+        )
+        r = contamination_hits(docs, ev, n=3).collect()[0]
+        assert r.hit_grams == 1
+        assert r.min_eval_id == 7
+
+    def test_eval_side_broadcast(self, spark):
+        """The eval gram set must ride a broadcast join — the corpus
+        side never shuffles for the collision probe."""
+        docs = spark.createDataFrame(
+            [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        ev = docs.filter(F.col("doc_id") < 3)
+        plan = contamination_hits(
+            docs, ev, n=3
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestQuotaSample:
+    @pytest.fixture()
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [(i, "en" if i % 3 else "de") for i in range(40)],
+            "doc_id long, lang string",
+        )
+
+    def test_exact_quota_and_determinism(self, docs):
+        out = quota_sample(docs, k=4, stratum_col="lang").toPandas()
+        assert out.groupby("lang").size().to_dict() == {"de": 4, "en": 4}
+        assert set(out.sample_rank) == {1, 2, 3, 4}
+        # content-deterministic: identical winners after repartition
+        again = quota_sample(
+            docs.repartition(7), k=4, stratum_col="lang"
+        ).toPandas()
+        key = ["doc_id", "lang", "sample_rank"]
+        assert sorted(map(tuple, out[key].values.tolist())) == sorted(
+            map(tuple, again[key].values.tolist())
+        )
+
+    def test_small_stratum_keeps_all(self, spark):
+        df = spark.createDataFrame(
+            [(1, "fr"), (2, "fr"), (3, "en")], "doc_id long, lang string"
+        )
+        out = quota_sample(df, k=5, stratum_col="lang").toPandas()
+        assert len(out) == 3
+
+    def test_quota_shrink_is_prefix(self, docs):
+        """Shrinking k keeps a prefix of the ranked winners — no
+        resampling churn when the budget drops."""
+        k3 = quota_sample(docs, k=3, stratum_col="lang").toPandas()
+        k2 = quota_sample(docs, k=2, stratum_col="lang").toPandas()
+        ids3 = set(k3[k3.sample_rank <= 2].doc_id)
+        assert set(k2.doc_id) == ids3
