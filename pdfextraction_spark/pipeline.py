@@ -34,6 +34,7 @@ from .sources.manifest import (
     committed_partitions,
     reconcile_orphan_commits,
     snapshot_id_for_path,
+    writer_lock,
 )
 from .sources.transcripts import read_transcripts
 
@@ -64,14 +65,37 @@ def run_extraction_job(
     SINGLE WRITER ONLY: at most one job at a time per
     (output_path, manifest_path) — orphan-commit reconciliation at job
     start would otherwise delete a concurrent run's in-flight commit
-    (see sources/manifest.py reconcile_orphan_commits). Concurrent
-    runs against DIFFERENT outputs are fine.
+    (see sources/manifest.py reconcile_orphan_commits). The contract
+    is ENFORCED by a writer lock on output_path: a second concurrent
+    job raises WriterLockHeld instead of corrupting the first; locks
+    left by hard-killed processes are reclaimed (pid-liveness / age).
+    Concurrent runs against DIFFERENT outputs are fine.
 
     ``fail_after_chunks`` injects a crash after k committed chunks;
     ``fail_before_manifest_chunk`` injects a crash INSIDE the commit
     window of chunk k — after its output append, before its manifest
     append (resume tests only).
     """
+    with writer_lock(output_path):
+        return _run_locked(
+            spark, input_path, output_path, manifest_path, run_id,
+            num_partitions, salt_turns, n_chunks, fail_after_chunks,
+            fail_before_manifest_chunk,
+        )
+
+
+def _run_locked(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    manifest_path: str,
+    run_id: Optional[str],
+    num_partitions: int,
+    salt_turns: int,
+    n_chunks: int,
+    fail_after_chunks: Optional[int],
+    fail_before_manifest_chunk: Optional[int],
+) -> dict:
     run_id = run_id or uuid.uuid4().hex[:12]
     snapshot = snapshot_id_for_path(input_path)
     turns = read_transcripts(spark, input_path)

@@ -17,8 +17,12 @@ transaction.
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
+import json
 import os
+import socket
+import time
 from typing import List, Set
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -68,6 +72,72 @@ def snapshot_id_for_path(path: str) -> str:
         entries.append(_file_content_entry(path, os.path.basename(path)))
     digest = hashlib.sha256("\n".join(entries).encode()).hexdigest()
     return digest[:16]
+
+
+class WriterLockHeld(RuntimeError):
+    """Another job currently holds the writer lock for this output."""
+
+
+_LOCK_NAME = "_writer.lock"
+
+
+@contextlib.contextmanager
+def writer_lock(output_path: str, stale_after_sec: float = 3600.0):
+    """Enforce the single-writer contract (see
+    reconcile_orphan_commits): a second concurrent job against the
+    same output would have its in-flight commit directory deleted as
+    an orphan, so refuse to start instead.
+
+    The lock is an O_EXCL-created file holding (pid, host, ts). It is
+    released in ``finally`` — a job that FAILS (including the resume
+    tests' injected crashes) releases it on the way out, because the
+    lock guards concurrency, not crash state; the manifest protocol
+    alone makes the restart safe. A lock left by a hard-killed
+    process is reclaimed when its pid is dead on this host, or — for
+    a foreign host, where liveness can't be probed — when the lock is
+    older than ``stale_after_sec``. This mirrors what an Iceberg
+    catalog's optimistic commit lock would arbitrate; the parquet
+    stand-in has no catalog, so the filesystem token does it."""
+    os.makedirs(output_path, exist_ok=True)
+    lock_fp = os.path.join(output_path, _LOCK_NAME)
+    me = {"pid": os.getpid(), "host": socket.gethostname(),
+          "ts": time.time()}
+    for attempt in range(2):
+        try:
+            fd = os.open(lock_fp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                json.dump(me, f)
+            break
+        except FileExistsError:
+            holder = {}
+            with contextlib.suppress(OSError, ValueError):
+                with open(lock_fp) as f:
+                    holder = json.load(f)
+            stale = False
+            if holder.get("host") == me["host"] and "pid" in holder:
+                try:
+                    os.kill(int(holder["pid"]), 0)
+                except (ProcessLookupError, ValueError):
+                    stale = True  # same host, pid gone -> hard-killed
+                except PermissionError:
+                    pass  # alive under another uid
+            elif time.time() - float(holder.get("ts", 0)) > stale_after_sec:
+                stale = True  # foreign/corrupt lock past the age bound
+            if stale and attempt == 0:
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(lock_fp)
+                continue
+            raise WriterLockHeld(
+                f"writer lock for {output_path} held by "
+                f"{holder or 'an unreadable lock file'}; at most one job "
+                f"may write a given (output_path, manifest_path) at a "
+                f"time"
+            )
+    try:
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(lock_fp)
 
 
 def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:

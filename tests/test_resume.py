@@ -230,3 +230,57 @@ def test_legacy_manifest_never_reconciled_away(spark, tmp_path):
     ).write.parquet(mf_new)
     assert reconcile_orphan_commits(spark, out, mf_new) == ["run-0001"]
     assert os.listdir(out) == ["commit_id=run-0000"]
+
+
+def test_writer_lock_excludes_concurrent_and_reclaims_stale(
+    spark, s_parquet, tmp_path
+):
+    """Single-writer contract is enforced, not just documented: a held
+    lock refuses a second job; a lock left by a dead pid is reclaimed;
+    a failed job releases its lock (the resume tests above double as
+    proof, since they rerun after injected crashes)."""
+    import json
+    import os
+    import socket
+
+    from pdfextraction_spark.sources.manifest import (
+        WriterLockHeld,
+        writer_lock,
+    )
+
+    out = str(tmp_path / "out_lock")
+    mf = str(tmp_path / "mf_lock")
+    # someone else (an alive pid on this host: ours) holds the lock
+    with writer_lock(out):
+        with pytest.raises(WriterLockHeld):
+            run_extraction_job(
+                spark, s_parquet, out, mf, num_partitions=2, n_chunks=1
+            )
+    # lock released on exit -> a dead-pid lock is reclaimed silently
+    os.makedirs(out, exist_ok=True)
+    lock_fp = os.path.join(out, "_writer.lock")
+    with open(lock_fp, "w") as f:
+        json.dump(
+            {"pid": 2 ** 22 + 1, "host": socket.gethostname(), "ts": 0.0},
+            f,
+        )
+    summary = run_extraction_job(
+        spark, s_parquet, out, mf, num_partitions=2, n_chunks=1
+    )
+    assert summary["partitions_processed"] == 2
+    assert not os.path.exists(lock_fp)
+    # a foreign-host lock younger than the stale bound blocks...
+    with open(lock_fp, "w") as f:
+        json.dump(
+            {"pid": 1, "host": "other-host", "ts": __import__("time").time()},
+            f,
+        )
+    with pytest.raises(WriterLockHeld):
+        with writer_lock(out):
+            pass
+    # ...and is reclaimed once past it
+    with open(lock_fp, "w") as f:
+        json.dump({"pid": 1, "host": "other-host", "ts": 0.0}, f)
+    with writer_lock(out):
+        pass
+    assert not os.path.exists(lock_fp)
