@@ -146,9 +146,12 @@ def contamination_hits(
     one offending benchmark doc for triage.
 
     Plan: both sides reduce to DISTINCT (id, gram); the eval side is
-    benchmark-sized and broadcast, so the corpus grams are joined
-    map-side — the only shuffles are the two distincts and the per-doc
-    count, all keyed by (id, gram) or id."""
+    benchmark-sized and broadcast. The corpus gram set is scanned
+    EXACTLY ONCE — a left broadcast join tags each corpus gram with
+    its match, and one aggregation produces hit and total counts
+    together (a separate totals pass would recompute the whole
+    explode+distinct lineage). The only shuffles are the corpus
+    distinct and the per-doc count, keyed by (id, gram) then id."""
 
     def gram_set(df: DataFrame, idc: str, out_id: str) -> DataFrame:
         base = df.select(
@@ -159,16 +162,17 @@ def contamination_hits(
 
     dg = gram_set(docs, id_col, "doc_id")
     eg = gram_set(eval_docs, eval_id_col, "eval_id")
-    totals = dg.groupBy("doc_id").agg(F.count("*").alias("doc_grams"))
-    hits = (
-        dg.join(F.broadcast(eg), "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count_distinct("gram").alias("hit_grams"),
-            F.min("eval_id").alias("min_eval_id"),
-        )
+    tagged = dg.join(F.broadcast(eg), "gram", "left")
+    # a gram shared with SEVERAL eval docs fans out in the left join —
+    # count distinct grams, not rows, on both totals and hits
+    agg = tagged.groupBy("doc_id").agg(
+        F.count_distinct(
+            F.when(F.col("eval_id").isNotNull(), F.col("gram"))
+        ).alias("hit_grams"),
+        F.count_distinct("gram").alias("doc_grams"),
+        F.min("eval_id").alias("min_eval_id"),
     )
-    return hits.join(totals, "doc_id").select(
+    return agg.filter(F.col("hit_grams") > 0).select(
         "doc_id",
         "hit_grams",
         "doc_grams",
