@@ -78,37 +78,62 @@ def ngram_repetition_stats(
       occurrence (the Gopher convention), so the frac can exceed 1
       for degenerate inputs — that is signal, not a bug.
 
-    Plan: one explode + two hash aggregations per distinct n (gram
-    counts, then per-doc max/sum with map-side combine), joined back
-    to the doc spine — no self-joins, no windows; shuffle keys are
-    (id, gram) then id."""
+    Plan: ONE pass whatever the n set — every n's grams are tagged
+    structs in a single staged array, so the corpus is scanned once
+    and one explode feeds one (id, n, gram) count, one (id, n)
+    max/sum (both with map-side combine), and a pivot back to
+    per-n columns joined to the doc spine. No self-joins, no
+    windows; shuffle keys are (id, n, gram) then id."""
+    ns = sorted(set(top_ns) | set(dup_ns))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.length(F.col(text_col)).cast("long").alias("total_chars"),
         F.split(F.col(text_col), " ").alias("toks"),
     )
-    out = base.select("doc_id", "total_chars")
-    for n in sorted(set(top_ns) | set(dup_ns)):
-        grams = base.withColumn("g", word_ngrams(F.col("toks"), n)).select(
-            "doc_id", F.explode("g").alias("gram")
+    def _tagger(n_val):
+        # NOT a default-arg lambda: pyspark reads lambda ARITY to
+        # decide whether to pass (element) or (element, index) — a
+        # two-parameter lambda would receive the array index as n_val
+        return lambda g: F.struct(
+            F.lit(n_val).alias("n"), g.alias("gram")
         )
-        counted = grams.groupBy("doc_id", "gram").agg(
-            F.count("*").alias("cnt")
-        )
-        w = F.col("cnt") * F.length(F.col("gram"))
-        agg = counted.groupBy("doc_id").agg(
-            F.max(w).alias("top_chars"),
-            F.sum(F.when(F.col("cnt") >= 2, w)).alias("dup_chars"),
-            F.count(F.when(F.col("cnt") >= 2, True)).alias("dup_grams"),
-        )
-        out = out.join(agg, "doc_id", "left")
-        keep = [c for c in out.columns
-                if c not in ("top_chars", "dup_chars", "dup_grams")]
-        sel = [F.col(c) for c in keep]
+
+    tagged_arrays = [
+        F.transform(word_ngrams(F.col("toks"), n), _tagger(n))
+        for n in ns
+    ]
+    # stage the combined array as a real column: an explode above an
+    # unstaged expression would re-evaluate it per element
+    staged = base.withColumn("gs", F.flatten(F.array(*tagged_arrays)))
+    ex = staged.select(
+        "doc_id",
+        F.explode("gs").alias("g"),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counted = ex.groupBy("doc_id", "n", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    w = F.col("cnt") * F.length(F.col("gram"))
+    agg = counted.groupBy("doc_id", "n").agg(
+        F.max(w).alias("top_chars"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") >= 2, w)), F.lit(0)
+        ).alias("dup_chars"),
+        F.count(F.when(F.col("cnt") >= 2, True)).alias("dup_grams"),
+    )
+    pivoted = agg.groupBy("doc_id").pivot("n", ns).agg(
+        F.first("top_chars").alias("top_chars"),
+        F.first("dup_chars").alias("dup_chars"),
+        F.first("dup_grams").alias("dup_grams"),
+    )
+    out = base.select("doc_id", "total_chars").join(
+        pivoted, "doc_id", "left"
+    )
+    sel = [F.col("doc_id"), F.col("total_chars")]
+    for n in ns:
         if n in top_ns:
             sel.append(
                 F.round(
-                    F.coalesce(F.col("top_chars"), F.lit(0))
+                    F.coalesce(F.col(f"{n}_top_chars"), F.lit(0))
                     / F.col("total_chars"),
                     6,
                 ).alias(f"top{n}_frac")
@@ -116,18 +141,17 @@ def ngram_repetition_stats(
         if n in dup_ns:
             sel.append(
                 F.round(
-                    F.coalesce(F.col("dup_chars"), F.lit(0))
+                    F.coalesce(F.col(f"{n}_dup_chars"), F.lit(0))
                     / F.col("total_chars"),
                     6,
                 ).alias(f"dup{n}_frac")
             )
             sel.append(
-                F.coalesce(F.col("dup_grams"), F.lit(0)).alias(
+                F.coalesce(F.col(f"{n}_dup_grams"), F.lit(0)).alias(
                     f"dup{n}_grams"
                 )
             )
-        out = out.select(*sel)
-    return out
+    return out.select(*sel)
 
 
 def contamination_hits(
