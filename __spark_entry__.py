@@ -742,6 +742,22 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits(corpus, ev, n=3)
 
 
+def q_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-calibrated lexical quality: per-doc type-token ratio +
+    rare-token share against a corpus document-frequency model (two
+    aggregations + a token-keyed equi-join; the DF model is never
+    broadcast — at corpus scale the rare tail IS the vocabulary).
+    rare_df_max=385 (the fixture's median token df) because the
+    synthetic vocabulary is ~31 types with df 25..402 — the dial is
+    corpus-calibrated and a web corpus uses single digits; 385 makes
+    roughly half the vocabulary 'rare' so the per-doc ratios carry
+    signal for the oracle."""
+    from pdfextraction_spark.functions.repetition import corpus_token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_token_stats(docs, rare_df_max=385)
+
+
 def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quota (balanced) sampling: exactly min(k, |stratum|) docs per
     language, ranked by the content-deterministic md5-32 uniform —
@@ -827,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "repetition_stats": q_repetition_stats,
         "contamination_hits": q_contamination,
+        "corpus_token_stats": q_corpus_token_stats,
         "quota_sample": q_quota_sample,
         "training_filter": q_training_filter,
     }
@@ -1108,6 +1125,7 @@ def _portable_oracle_sql() -> dict[str, str]:
             top_ns=(2, 3), dup_ns=(2,)
         ),
         "contamination_hits": P.contamination_hits_sql(n=3, eval_mod=41),
+        "corpus_token_stats": P.corpus_token_stats_sql(rare_df_max=385),
         "quota_sample": P.quota_sample_sql(k=5, stratum_col="lang"),
     }
 

@@ -62,6 +62,7 @@ HEADLINE = [
     "winnow_fingerprints",
     "repetition_stats",
     "contamination_hits",
+    "corpus_token_stats",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -154,6 +154,62 @@ def ngram_repetition_stats(
     return out.select(*sel)
 
 
+def corpus_token_stats(
+    docs: DataFrame,
+    rare_df_max: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc lexical stats against a CORPUS-LEVEL document-frequency
+    model — the two-pass pattern every corpus-calibrated quality gate
+    uses (a per-doc heuristic can't know which tokens are unusual for
+    the corpus).
+
+    Output: (doc_id, n_tokens, n_types, ttr, n_rare_tokens,
+    rare_ratio) where ttr is the type-token ratio (distinct/total, a
+    classic gibberish-vs-template signal) and rare_ratio is the share
+    of token OCCURRENCES whose corpus document frequency is <=
+    ``rare_df_max`` (high -> OCR noise / codes / misspellings; the
+    threshold is corpus-calibrated — small fixtures need a higher
+    value than a web corpus's 2).
+
+    Plan: one explode -> per-(doc, token) tf; the DF model is ONE more
+    aggregation over that (count of docs per token — no second scan);
+    model and docs meet in a shuffle equi-join keyed by token. The
+    model is NOT broadcast on purpose: at corpus scale the rare tail
+    IS most of the vocabulary, far beyond broadcast size. Ratios are
+    exact-integer divisions rounded to 6dp — oracle-identical."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    )
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    joined = tf.join(dfreq, "tok")
+    agg = joined.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.coalesce(
+            F.sum(F.when(F.col("df") <= rare_df_max, F.col("tf"))),
+            F.lit(0),
+        ).alias("n_rare_tokens"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+        "n_rare_tokens",
+        F.round(F.col("n_rare_tokens") / F.col("n_tokens"), 6).alias(
+            "rare_ratio"
+        ),
+    )
+
+
 def contamination_hits(
     docs: DataFrame,
     eval_docs: DataFrame,

@@ -521,3 +521,33 @@ def quota_sample_sql(k: int = 5, stratum_col: str = "lang",
           FROM {table}
         ) WHERE sample_rank <= {k}
     """
+
+
+def corpus_token_stats_sql(rare_df_max: int = 2,
+                           table: str = "documents") -> str:
+    """Mirror of functions/repetition.corpus_token_stats: tf per
+    (doc, token), df = docs per token, exact-integer ratios."""
+    return f"""
+        WITH tf AS (
+          SELECT doc_id, tok, count(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM {table}
+          ) GROUP BY doc_id, tok
+        ), dfreq AS (
+          SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        ), agg AS (
+          SELECT tf.doc_id,
+                 CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+                 count(*) AS n_types,
+                 CAST(coalesce(
+                   sum(tf.tf) FILTER (dfreq.df <= {rare_df_max}), 0)
+                   AS BIGINT) AS n_rare_tokens
+          FROM tf JOIN dfreq USING (tok)
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, n_tokens, n_types,
+               round(n_types / n_tokens, 6) AS ttr,
+               n_rare_tokens,
+               round(n_rare_tokens / n_tokens, 6) AS rare_ratio
+        FROM agg
+    """

@@ -166,3 +166,80 @@ class TestQuotaSample:
         k2 = quota_sample(docs, k=2, stratum_col="lang").toPandas()
         ids3 = set(k3[k3.sample_rank <= 2].doc_id)
         assert set(k2.doc_id) == ids3
+
+
+class TestCorpusTokenStats:
+    def test_hand_computed(self, spark):
+        """4-doc corpus: 'zz' appears in 1 doc (df=1 -> rare at
+        threshold 2), 'aa' in all 4 (df=4 -> common)."""
+        from pdfextraction_spark.functions.repetition import (
+            corpus_token_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "aa aa zz"),
+                (2, "aa bb"),
+                (3, "aa bb"),
+                (4, "aa"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in corpus_token_stats(docs, rare_df_max=2).collect()
+        }
+        # doc 1: 3 occurrences, 2 types, 1 rare occurrence (zz df=1)
+        assert out[1].n_tokens == 3
+        assert out[1].n_types == 2
+        assert out[1].ttr == round(2 / 3, 6)
+        assert out[1].n_rare_tokens == 1
+        assert out[1].rare_ratio == round(1 / 3, 6)
+        # doc 2: bb has df=2 (docs 2,3) -> rare at threshold 2
+        assert out[2].n_rare_tokens == 1
+        assert out[4].rare_ratio == 0.0
+
+    def test_duckdb_parity(self, spark):
+        from pdfextraction_spark.functions.repetition import (
+            corpus_token_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"t{j}" for j in range(i % 7, i % 7 + 5)))
+             for i in range(30)],
+            "doc_id long, text string",
+        )
+        got = (
+            corpus_token_stats(docs, rare_df_max=4)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        want = (
+            con.execute(P.corpus_token_stats_sql(rare_df_max=4))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for c in ("n_tokens", "n_types", "ttr", "n_rare_tokens",
+                  "rare_ratio"):
+            assert list(got[c]) == list(want[c]), c
+
+    def test_df_model_not_broadcast(self, spark):
+        """The DF model side must NOT be broadcast (the rare tail is
+        most of the vocabulary at scale) — assert the token join is a
+        shuffle join under a tiny autoBroadcast threshold the model
+        would otherwise fit."""
+        from pdfextraction_spark.functions.repetition import (
+            corpus_token_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i} w{i+1} shared") for i in range(100)],
+            "doc_id long, text string",
+        )
+        plan = corpus_token_stats(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
