@@ -89,3 +89,31 @@ class TestPlans:
         plan = _plan(em.q_ngram_jaccard(spark, "/root/testdata/sf0.001"))
         # anti-join + semi-join against the broadcast stoplist
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    def test_repetition_pruned_scan_partial_aggs(self, spark):
+        """repetition_stats must scan only (doc_id, text) — lang/
+        source/n_chars pruned — and its gram count must partial-
+        aggregate map-side."""
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_repetition_stats(spark, "/root/testdata/sf0.001"))
+        read = plan.split("ReadSchema:")[1].split("\n")[0]
+        assert "doc_id" in read and "text" in read
+        assert "lang" not in read and "source" not in read
+        # gram-level and doc-level aggregations both split partial/final
+        assert plan.count("HashAggregate") >= 4
+
+    def test_contamination_pruned_scan_single_corpus_pass(self, spark):
+        """Decontamination scans only (doc_id, text) and joins the
+        eval gram set by broadcast — corpus grams are aggregated in
+        ONE pass (no second lineage for totals)."""
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_contamination(spark, "/root/testdata/sf0.001"))
+        for read in plan.split("ReadSchema:")[1:]:
+            head = read.split("\n")[0]
+            assert "lang" not in head and "n_chars" not in head
+        assert "BroadcastHashJoin" in plan
+        # one corpus-side distinct + one per-doc aggregate, each
+        # partial+final; a doubled lineage would add more
+        assert plan.count("Scan parquet") == 2  # corpus + eval sides
