@@ -610,6 +610,12 @@ def main() -> None:
     times = {}
     for name in HEADLINE:
         fn = qs[name]
+        # one untimed pass per query: steady-state walls for every
+        # entry (JVM codegen, shuffle services, and — for the
+        # vectorized queries — Python/Arrow worker spin-up would
+        # otherwise be charged only to whichever query hits them
+        # first, skewing cross-query comparison)
+        force(fn(spark, bench_sf))
         t0 = time.time()
         force(fn(spark, bench_sf))
         times[name] = round(time.time() - t0, 3)
