@@ -771,6 +771,45 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel — the composite a training-data
+    pipeline actually runs, proving the gates COMPOSE: (1) quality +
+    language gate, (2) exact-dedup canonicalization (md5 fingerprint
+    group, min id wins — portable analogue of the xxhash64 production
+    key), (3) repetition gate on the top-2-gram char share, (4)
+    language-balanced quota sample of the survivors. Output is the
+    selected training subset with its per-language rank."""
+    from pdfextraction_spark.functions import text as X
+    from pdfextraction_spark.functions.repetition import (
+        ngram_repetition_stats,
+    )
+    from pdfextraction_spark.functions.sampling import quota_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    gated = docs.filter(
+        (F.round(X.quality_score(t), 4) >= 0.5) & X.is_english(t)
+    )
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    canon = (
+        gated.select("doc_id", F.md5(F.encode(norm, "UTF-8")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = gated.join(canon, "doc_id", "semi")
+    # 0.12 = fixture q90 of the survivor distribution (the gate must
+    # actually remove docs to be oracle-exercised); Gopher's published
+    # top-2-gram threshold is 0.20 on web text
+    calm = ngram_repetition_stats(survivors, top_ns=(2,), dup_ns=()) \
+        .filter(F.col("top2_frac") <= 0.12).select("doc_id")
+    final = survivors.join(calm, "doc_id", "semi")
+    return quota_sample(final, k=10, stratum_col="lang").select(
+        "doc_id", "lang",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    )
+
+
 def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data gate: extraction -> language-ID +
     quality scoring on the EXTRACTED text -> filtered corpus rows."""
@@ -845,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_hits": q_contamination,
         "corpus_token_stats": q_corpus_token_stats,
         "quota_sample": q_quota_sample,
+        "curation_funnel": q_curation_funnel,
         "training_filter": q_training_filter,
     }
 
@@ -1127,7 +1167,87 @@ def _portable_oracle_sql() -> dict[str, str]:
         "contamination_hits": P.contamination_hits_sql(n=3, eval_mod=41),
         "corpus_token_stats": P.corpus_token_stats_sql(rare_df_max=385),
         "quota_sample": P.quota_sample_sql(k=5, stratum_col="lang"),
+        "curation_funnel": _curation_funnel_sql(),
     }
+
+
+def _curation_funnel_sql(q_min: float = 0.5, top2_max: float = 0.12,
+                         k: int = 10) -> str:
+    """Mirror of q_curation_funnel: quality/language fragments copied
+    verbatim from the (oracle-green) token_stats SQL, md5-normalized
+    exact-dedup canon, top-2-gram repetition gate, md5-32 quota rank.
+    Parameters MUST match the q_curation_funnel calls."""
+    from pdfextraction_spark.oracle.portable_sql import _MD5_32
+
+    stop_ratio = ("(CASE WHEN n_ws = 0 THEN 0.0 "
+                  "ELSE n_stop * 1.0 / n_ws END)")
+    punct_ratio = ("(CASE WHEN n_chars = 0 THEN 0.0 "
+                   "ELSE n_punct * 1.0 / n_chars END)")
+    u = _MD5_32.format(expr="CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH q AS (
+          SELECT doc_id, text, lang,
+            length(text) AS n_chars,
+            length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+              AS n_punct,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+              AS n_ws,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(list_filter(
+                        regexp_split_to_array(lower(trim(text)), '\\s+'),
+                        x -> x IN {_STOPWORDS_SQL})) END AS n_stop,
+            length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+              AS n_ascii
+          FROM documents
+        ), gated AS (
+          SELECT doc_id, text, lang FROM q
+          WHERE round((least(n_chars / 500.0, 1.0)
+                 + (1.0 - least({punct_ratio} * 4.0, 1.0))
+                 + least({stop_ratio} * 5.0, 1.0)) / 3.0, 4) >= {q_min}
+            AND {stop_ratio} >= 0.05
+            AND n_ascii * 1.0 / greatest(n_chars, 1) >= 0.9
+        ), canon AS (
+          SELECT min(doc_id) AS doc_id FROM (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     AS fp
+            FROM gated
+          ) GROUP BY fp
+        ), surv AS (
+          SELECT g.doc_id, g.text, g.lang
+          FROM gated g JOIN canon USING (doc_id)
+        ), toks AS (
+          SELECT doc_id, length(text) AS total_chars,
+                 string_split(text, ' ') AS t
+          FROM surv
+        ), g2 AS (
+          SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+          FROM toks, LATERAL (SELECT unnest(generate_series(
+                       1, len(toks.t) - 1)) AS i) u
+          WHERE len(t) >= 2
+        ), c2 AS (
+          SELECT doc_id, gram, count(*) AS cnt FROM g2
+          GROUP BY doc_id, gram
+        ), a2 AS (
+          SELECT doc_id, max(cnt * length(gram)) AS top_chars FROM c2
+          GROUP BY doc_id
+        ), calm AS (
+          SELECT tk.doc_id
+          FROM toks tk LEFT JOIN a2 USING (doc_id)
+          WHERE round(coalesce(a2.top_chars, 0) / tk.total_chars, 6)
+                <= {top2_max}
+        ), final AS (
+          SELECT s.doc_id, s.lang FROM surv s JOIN calm USING (doc_id)
+        )
+        SELECT doc_id, lang, sample_rank FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY ({u}) ASC, doc_id ASC)
+                   AS sample_rank
+          FROM final
+        ) WHERE sample_rank <= {k}
+    """
 
 
 def _golden_oracle_sql() -> dict[str, str]:

@@ -243,3 +243,51 @@ class TestCorpusTokenStats:
         plan = corpus_token_stats(docs)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+class TestCurationFunnel:
+    def test_exact_dup_canonicalized_and_composes(self, spark, tmp_path):
+        """The sf fixture has no exact text duplicates, so the
+        funnel's dedup stage is structural there — prove it bites on
+        a crafted corpus: two identical high-quality docs keep only
+        the min id, and the repetition gate drops the spammy doc."""
+        import os
+
+        import __spark_entry__ as e
+
+        # stopword-rich, zero repeated 2-grams (any repetition would
+        # trip the funnel's own top2 gate — by design)
+        good = ("the alpha and beta of gamma is delta for epsilon on "
+                "zeta with eta as theta was iota at kappa by lam an "
+                "mu be nu this xi that omicron or pi in rho to sigma "
+                "a tau it upsilon")
+        # stopword-bearing so it PASSES the quality/language gate and
+        # dies specifically on the top-2-gram repetition gate
+        spam = "the buy now deal " * 40
+        pdf = spark.createDataFrame(
+            [
+                (1, good, "en", "src0", len(good)),
+                (2, good, "en", "src0", len(good)),   # exact dup of 1
+                (3, good + " tail", "en", "src1", len(good) + 5),
+                (4, spam, "en", "src1", len(spam)),   # top2-gram heavy
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).toPandas()
+        d = tmp_path / "funnel_sf"
+        os.makedirs(d, exist_ok=True)
+        pdf.to_parquet(str(d / "documents.parquet"), index=False)
+        out = e.q_curation_funnel(spark, str(d)).toPandas()
+        ids = set(out.doc_id)
+        assert 1 in ids          # canonical survives
+        assert 2 not in ids      # exact dup removed
+        assert 3 in ids          # distinct text survives
+        assert 4 not in ids      # repetition gate
+    def test_deterministic_across_partitioning(self, spark):
+        import __spark_entry__ as e
+
+        a = e.q_curation_funnel(spark, "/root/testdata/sf0.001") \
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        b = e.q_curation_funnel(spark, "/root/testdata/sf0.001") \
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
