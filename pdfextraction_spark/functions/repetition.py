@@ -128,23 +128,24 @@ def ngram_repetition_stats(
     out = base.select("doc_id", "total_chars").join(
         pivoted, "doc_id", "left"
     )
+
+    def _frac(chars_col):
+        # empty doc -> 0.0, not an ANSI divide-by-zero
+        return F.when(F.col("total_chars") == 0, F.lit(0.0)).otherwise(
+            F.round(
+                F.coalesce(chars_col, F.lit(0)) / F.col("total_chars"), 6
+            )
+        )
+
     sel = [F.col("doc_id"), F.col("total_chars")]
     for n in ns:
         if n in top_ns:
             sel.append(
-                F.round(
-                    F.coalesce(F.col(f"{n}_top_chars"), F.lit(0))
-                    / F.col("total_chars"),
-                    6,
-                ).alias(f"top{n}_frac")
+                _frac(F.col(f"{n}_top_chars")).alias(f"top{n}_frac")
             )
         if n in dup_ns:
             sel.append(
-                F.round(
-                    F.coalesce(F.col(f"{n}_dup_chars"), F.lit(0))
-                    / F.col("total_chars"),
-                    6,
-                ).alias(f"dup{n}_frac")
+                _frac(F.col(f"{n}_dup_chars")).alias(f"dup{n}_frac")
             )
             sel.append(
                 F.coalesce(F.col(f"{n}_dup_grams"), F.lit(0)).alias(

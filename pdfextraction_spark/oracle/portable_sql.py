@@ -462,13 +462,15 @@ def ngram_repetition_stats_sql(top_ns=(2, 3), dup_ns=(5,),
         joins.append(f"LEFT JOIN a{n} ON a{n}.doc_id = base.doc_id")
         if n in top_ns:
             cols.append(
-                f"round(coalesce(a{n}.top_chars, 0) / base.total_chars, 6)"
-                f" AS top{n}_frac"
+                f"CASE WHEN base.total_chars = 0 THEN 0.0 ELSE"
+                f" round(coalesce(a{n}.top_chars, 0) / base.total_chars, 6)"
+                f" END AS top{n}_frac"
             )
         if n in dup_ns:
             cols.append(
-                f"round(coalesce(a{n}.dup_chars, 0) / base.total_chars, 6)"
-                f" AS dup{n}_frac"
+                f"CASE WHEN base.total_chars = 0 THEN 0.0 ELSE"
+                f" round(coalesce(a{n}.dup_chars, 0) / base.total_chars, 6)"
+                f" END AS dup{n}_frac"
             )
             cols.append(
                 f"coalesce(a{n}.dup_grams, 0) AS dup{n}_grams"

@@ -291,3 +291,60 @@ class TestCurationFunnel:
         b = e.q_curation_funnel(spark, "/root/testdata/sf0.001") \
             .toPandas().sort_values("doc_id").reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestRandomizedParity:
+    def test_repetition_family_fuzz_vs_duckdb(self, spark):
+        """Randomized cross-engine parity: 3 seeds x 80 docs with
+        adversarial shapes (empty strings, single tokens, double
+        spaces -> empty tokens, heavy repeats) through ALL THREE
+        corpus ops vs their DuckDB mirrors."""
+        import numpy as np
+
+        from pdfextraction_spark.functions.repetition import (
+            corpus_token_stats,
+            ngram_repetition_stats,
+        )
+
+        vocab = ["a", "bb", "ccc", "dd", "e", "the", "spam"]
+        for seed in (7, 11, 13):
+            rng = np.random.default_rng(seed)
+            rows = []
+            for i in range(80):
+                n = int(rng.integers(0, 25))
+                words = list(rng.choice(vocab, size=n))
+                text = " ".join(words)
+                if n and rng.random() < 0.2:
+                    text = text + "  " + text   # double space + repeat
+                rows.append((i, text))
+            docs = spark.createDataFrame(rows, "doc_id long, text string")
+            con = duckdb.connect()
+            con.register("documents", docs.toPandas())
+
+            got = (ngram_repetition_stats(docs, top_ns=(2,), dup_ns=(3,))
+                   .toPandas().sort_values("doc_id").reset_index(drop=True))
+            want = (con.execute(P.ngram_repetition_stats_sql(
+                        top_ns=(2,), dup_ns=(3,)))
+                    .df().sort_values("doc_id").reset_index(drop=True))
+            for c in ("total_chars", "top2_frac", "dup3_frac",
+                      "dup3_grams"):
+                assert list(got[c]) == list(want[c]), (seed, c)
+
+            got = (corpus_token_stats(docs, rare_df_max=3)
+                   .toPandas().sort_values("doc_id").reset_index(drop=True))
+            want = (con.execute(P.corpus_token_stats_sql(rare_df_max=3))
+                    .df().sort_values("doc_id").reset_index(drop=True))
+            for c in ("n_tokens", "n_types", "ttr", "n_rare_tokens",
+                      "rare_ratio"):
+                assert list(got[c]) == list(want[c]), (seed, c)
+
+            ev = docs.filter(F.col("doc_id") % 5 == 0)
+            corpus = docs.filter(F.col("doc_id") % 5 != 0)
+            got = (contamination_hits(corpus, ev, n=2)
+                   .toPandas().sort_values("doc_id").reset_index(drop=True))
+            want = (con.execute(P.contamination_hits_sql(n=2, eval_mod=5))
+                    .df().sort_values("doc_id").reset_index(drop=True))
+            assert len(got) == len(want), seed
+            for c in ("hit_grams", "doc_grams", "hit_frac",
+                      "min_eval_id"):
+                assert list(got[c]) == list(want[c]), (seed, c)
