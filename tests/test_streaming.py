@@ -192,3 +192,112 @@ def test_stateful_streaming_table_merge_matches_batch(spark, xs_parquet, tmp_pat
     for col in ("conv_id", "headers", "total_rows", "source_turns",
                 "rows_by_turn", "spans_multiple_turns"):
         assert list(streamed[col]) == list(batch[col]), col
+
+
+@pytest.mark.slow
+def test_streaming_exact_dedup_matches_batch_set(spark, tmp_path):
+    """Multi-batch streaming dedup (maxFilesPerTrigger=1 forces state
+    to carry across micro-batches): the surviving fingerprint SET must
+    equal batch exact_dedup's, with exactly one survivor per distinct
+    normalized text, and the duplicate arriving in a LATER file must
+    be suppressed by state, not by within-batch dedup."""
+    import pandas as pd
+
+    from pdfextraction_spark.streaming.dedup import (
+        FINGERPRINT_COL,
+        stream_exact_dedup,
+        with_content_fingerprint,
+    )
+
+    src = str(tmp_path / "dsrc")
+    os.makedirs(src)
+    # file 1: docs 0..9; file 2: docs 10..19 where 10..14 duplicate
+    # (whitespace-mangled) texts from file 1
+    f1 = pd.DataFrame({
+        "doc_id": range(10),
+        "text": [f"doc body number {i} with words" for i in range(10)],
+    })
+    f2 = pd.DataFrame({
+        "doc_id": range(10, 20),
+        "text": [f"  DOC   body number {i}  with words " for i in range(5)]
+        + [f"doc body number {i} with words" for i in range(15, 20)],
+    })
+    f1.to_parquet(os.path.join(src, "part-0.parquet"), index=False)
+    f2.to_parquet(os.path.join(src, "part-1.parquet"), index=False)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).toPandas()
+    batch_all = pd.concat([f1, f2], ignore_index=True)
+    batch_fps = with_content_fingerprint(
+        spark.createDataFrame(batch_all)
+    ).toPandas()
+    # one survivor per distinct fingerprint; sets agree with batch
+    assert len(got) == batch_fps[FINGERPRINT_COL].nunique() == 15
+    assert set(got[FINGERPRINT_COL]) == set(batch_fps[FINGERPRINT_COL])
+    # the cross-file duplicates (docs 10..14) lost to first arrival
+    assert set(got.doc_id) == set(range(10)) | set(range(15, 20))
+
+
+@pytest.mark.slow
+def test_streaming_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """The production form: dropDuplicatesWithinWatermark on the
+    fingerprint — a duplicate arriving within the watermark window is
+    suppressed."""
+    import pandas as pd
+
+    from pdfextraction_spark.streaming.dedup import stream_exact_dedup
+
+    src = str(tmp_path / "wsrc")
+    os.makedirs(src)
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    f1 = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["alpha beta", "gamma delta"],
+        "ts": [base, base + pd.Timedelta(minutes=1)],
+    })
+    f2 = pd.DataFrame({
+        "doc_id": [3, 4],
+        "text": ["alpha beta", "epsilon zeta"],   # dup of doc 1
+        "ts": [base + pd.Timedelta(minutes=2),
+               base + pd.Timedelta(minutes=3)],
+    })
+    for df in (f1, f2):
+        df["ts"] = df["ts"].astype("datetime64[us]")
+    f1.to_parquet(os.path.join(src, "part-0.parquet"), index=False)
+    f2.to_parquet(os.path.join(src, "part-1.parquet"), index=False)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "wout")
+    q = (
+        stream_exact_dedup(stream, ts_col="ts", watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()
+    assert sorted(got.doc_id) == [1, 2, 4]
