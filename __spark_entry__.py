@@ -771,6 +771,17 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence chunking: 32-token windows, stride 24 (sized
+    to the fixture's ~54-token docs so multi-chunk docs are common;
+    production uses context-length windows). Pure narrow transform —
+    no shuffle."""
+    from pdfextraction_spark.functions.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, stride=24)
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel — the composite a training-data
     pipeline actually runs, proving the gates COMPOSE: (1) quality +
@@ -884,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_hits": q_contamination,
         "corpus_token_stats": q_corpus_token_stats,
         "quota_sample": q_quota_sample,
+        "chunk_documents": q_chunk_documents,
         "curation_funnel": q_curation_funnel,
         "training_filter": q_training_filter,
     }
@@ -1167,6 +1179,8 @@ def _portable_oracle_sql() -> dict[str, str]:
         "contamination_hits": P.contamination_hits_sql(n=3, eval_mod=41),
         "corpus_token_stats": P.corpus_token_stats_sql(rare_df_max=385),
         "quota_sample": P.quota_sample_sql(k=5, stratum_col="lang"),
+        "chunk_documents": P.chunk_documents_sql(chunk_tokens=32,
+                                                 stride=24),
         "curation_funnel": _curation_funnel_sql(),
     }
 

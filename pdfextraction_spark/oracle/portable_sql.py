@@ -553,3 +553,26 @@ def corpus_token_stats_sql(rare_df_max: int = 2,
                round(n_rare_tokens / n_tokens, 6) AS rare_ratio
         FROM agg
     """
+
+
+def chunk_documents_sql(chunk_tokens: int = 128, stride: int = 96,
+                        table: str = "documents") -> str:
+    """Mirror of functions/chunking.chunk_documents: identical integer
+    chunk-count formula and 1-based clamped list slices."""
+    c, s = chunk_tokens, stride
+    return f"""
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS t,
+                 len(string_split(text, ' ')) AS n
+          FROM {table}
+        )
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS chunk_idx,
+               CAST(least(n - i * {s}, {c}) AS BIGINT) AS n_tokens,
+               array_to_string(t[i * {s} + 1 : i * {s} + {c}], ' ')
+                 AS chunk_text
+        FROM base,
+          LATERAL (SELECT unnest(generate_series(0,
+            CASE WHEN n <= {c} THEN 0
+                 ELSE (n - {c} + {s} - 1) // {s} END)) AS i) u
+    """

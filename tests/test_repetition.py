@@ -348,3 +348,71 @@ class TestRandomizedParity:
             for c in ("hit_grams", "doc_grams", "hit_frac",
                       "min_eval_id"):
                 assert list(got[c]) == list(want[c]), (seed, c)
+
+
+class TestChunking:
+    def test_hand_computed(self, spark):
+        """10 tokens, chunk 4, stride 3 -> starts 0,3,6 (last window
+        reaches the end); 3 tokens -> single chunk."""
+        from pdfextraction_spark.functions.chunking import chunk_documents
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b c")],
+            "doc_id long, text string",
+        )
+        out = chunk_documents(docs, chunk_tokens=4, stride=3).toPandas()
+        d1 = out[out.doc_id == 1].sort_values("chunk_idx")
+        assert list(d1.chunk_idx) == [0, 1, 2]
+        assert list(d1.chunk_text) == [
+            "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
+        ]
+        assert list(d1.n_tokens) == [4, 4, 4]
+        d2 = out[out.doc_id == 2]
+        assert list(d2.chunk_text) == ["a b c"]
+        assert list(d2.n_tokens) == [3]
+
+    def test_last_window_reaches_end_not_suffix(self, spark):
+        """11 tokens, chunk 4, stride 3 -> starts 0,3,6,9; final chunk
+        is the 2-token tail, never a strict suffix duplicate."""
+        from pdfextraction_spark.functions.chunking import chunk_documents
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(11)))],
+            "doc_id long, text string",
+        )
+        out = chunk_documents(docs, chunk_tokens=4, stride=3) \
+            .toPandas().sort_values("chunk_idx")
+        assert list(out.n_tokens) == [4, 4, 4, 2]
+        assert out.iloc[-1].chunk_text == "t9 t10"
+
+    def test_duckdb_parity_fuzz(self, spark):
+        import numpy as np
+
+        from pdfextraction_spark.functions.chunking import chunk_documents
+
+        rng = np.random.default_rng(3)
+        rows = [
+            (i, " ".join(f"w{rng.integers(0, 9)}"
+                         for _ in range(int(rng.integers(0, 40)))))
+            for i in range(60)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        key = ["doc_id", "chunk_idx"]
+        got = (chunk_documents(docs, chunk_tokens=8, stride=5)
+               .toPandas().sort_values(key).reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        want = (con.execute(P.chunk_documents_sql(chunk_tokens=8,
+                                                  stride=5))
+                .df().sort_values(key).reset_index(drop=True))
+        for c in ("n_tokens", "chunk_text"):
+            assert list(got[c]) == list(want[c]), c
+
+    def test_bad_stride_rejected(self, spark):
+        from pdfextraction_spark.functions.chunking import chunk_documents
+
+        docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(docs, chunk_tokens=4, stride=0)
+        with pytest.raises(ValueError):
+            chunk_documents(docs, chunk_tokens=4, stride=5)
