@@ -782,6 +782,21 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=32, stride=24)
 
 
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenation packing of the chunked corpus into capacity-128
+    bins across 8 content-deterministic shards — the training-example
+    layout step after chunking (production: capacity = model context,
+    n_shards ~ cluster width)."""
+    from pdfextraction_spark.functions.chunking import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, stride=24)
+    return pack_chunks(chunks, capacity=128, n_shards=8)
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel — the composite a training-data
     pipeline actually runs, proving the gates COMPOSE: (1) quality +
@@ -896,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_stats": q_corpus_token_stats,
         "quota_sample": q_quota_sample,
         "chunk_documents": q_chunk_documents,
+        "pack_chunks": q_pack_chunks,
         "curation_funnel": q_curation_funnel,
         "training_filter": q_training_filter,
     }
@@ -1181,6 +1197,8 @@ def _portable_oracle_sql() -> dict[str, str]:
         "quota_sample": P.quota_sample_sql(k=5, stratum_col="lang"),
         "chunk_documents": P.chunk_documents_sql(chunk_tokens=32,
                                                  stride=24),
+        "pack_chunks": P.pack_chunks_sql(chunk_tokens=32, stride=24,
+                                         capacity=128, n_shards=8),
         "curation_funnel": _curation_funnel_sql(),
     }
 

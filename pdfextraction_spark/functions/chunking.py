@@ -18,7 +18,9 @@ boundaries bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .sampling import hash_uniform
 
 
 def chunk_documents(
@@ -60,4 +62,53 @@ def chunk_documents(
         F.col("c.chunk_idx").alias("chunk_idx"),
         F.col("c.n_tokens").alias("n_tokens"),
         F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    capacity: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    len_col: str = "n_tokens",
+) -> DataFrame:
+    """Concatenation packing: assign each chunk a (shard, bin_id,
+    bin_offset) so training examples are built by concatenating a
+    bin's chunks in order and cutting at ``capacity`` tokens — the
+    standard pretraining packing scheme (concatenate-then-slice), not
+    bin-packing optimization.
+
+    A chunk belongs to the bin where its first token lands;
+    ``bin_offset`` is that token's position within the bin, and a
+    chunk with bin_offset + n_tokens > capacity straddles into the
+    next bin (the tokenizer splits it there — that's the
+    concatenate-then-slice contract, no padding waste).
+
+    Scale shape: a single GLOBAL ordered window would serialize onto
+    one task, so packing is SHARDED — the content-deterministic md5-32
+    uniform on the doc id buckets docs into ``n_shards`` independent
+    packing streams, each a partitioned running sum. Determinism:
+    shard assignment is content-based and the within-shard order is
+    (doc_id, chunk_idx), so the layout is reproducible across runs,
+    partitionings, and engines; bins are only ever underfull at each
+    shard's tail (n_shards * <1 bin of waste corpus-wide)."""
+    shard = F.floor(
+        hash_uniform(F.col(id_col)) * n_shards
+    ).cast("int")
+    with_shard = chunks.withColumn("shard", shard)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc(), F.col(idx_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_end = F.sum(F.col(len_col)).over(w)
+    start = (cum_end - F.col(len_col)).cast("long")
+    return with_shard.select(
+        id_col,
+        idx_col,
+        len_col,
+        "shard",
+        F.floor(start / capacity).cast("long").alias("bin_id"),
+        F.pmod(start, F.lit(capacity)).cast("long").alias("bin_offset"),
     )

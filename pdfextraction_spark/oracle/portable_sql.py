@@ -576,3 +576,34 @@ def chunk_documents_sql(chunk_tokens: int = 128, stride: int = 96,
             CASE WHEN n <= {c} THEN 0
                  ELSE (n - {c} + {s} - 1) // {s} END)) AS i) u
     """
+
+
+def pack_chunks_sql(chunk_tokens: int = 32, stride: int = 24,
+                    capacity: int = 128, n_shards: int = 8,
+                    table: str = "documents") -> str:
+    """Mirror of chunk_documents |> pack_chunks: md5-32 shard bucket,
+    within-shard running sum over (doc_id, chunk_idx), integer
+    bin/offset math."""
+    u = _MD5_32.format(expr="CAST(doc_id AS VARCHAR)")
+    chunks = chunk_documents_sql(chunk_tokens, stride, table)
+    return f"""
+        WITH ch AS ({chunks}),
+        sharded AS (
+          SELECT doc_id, chunk_idx, n_tokens,
+                 CAST(floor(({u}) / 4294967296.0 * {n_shards})
+                      AS INTEGER) AS shard
+          FROM ch
+        ), cum AS (
+          SELECT doc_id, chunk_idx, n_tokens, shard,
+                 sum(n_tokens) OVER (
+                   PARTITION BY shard
+                   ORDER BY doc_id ASC, chunk_idx ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - n_tokens AS start
+          FROM sharded
+        )
+        SELECT doc_id, chunk_idx, n_tokens, shard,
+               CAST(start // {capacity} AS BIGINT) AS bin_id,
+               CAST(start % {capacity} AS BIGINT) AS bin_offset
+        FROM cum
+    """

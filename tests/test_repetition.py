@@ -416,3 +416,48 @@ class TestChunking:
             chunk_documents(docs, chunk_tokens=4, stride=0)
         with pytest.raises(ValueError):
             chunk_documents(docs, chunk_tokens=4, stride=5)
+
+
+class TestPacking:
+    def test_contiguous_layout_per_shard(self, spark):
+        """Within a shard, (bin_id, bin_offset) must advance exactly by
+        n_tokens in (doc_id, chunk_idx) order — no gaps, no overlap."""
+        from pdfextraction_spark.functions.chunking import (
+            chunk_documents,
+            pack_chunks,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{j}" for j in range(i % 13 + 1)))
+             for i in range(50)],
+            "doc_id long, text string",
+        )
+        out = pack_chunks(
+            chunk_documents(docs, chunk_tokens=5, stride=4),
+            capacity=16, n_shards=4,
+        ).toPandas().sort_values(["shard", "doc_id", "chunk_idx"])
+        for _, grp in out.groupby("shard"):
+            pos = 0
+            for _, r in grp.iterrows():
+                assert r.bin_id * 16 + r.bin_offset == pos
+                pos += r.n_tokens
+
+    def test_deterministic_across_partitioning(self, spark):
+        from pdfextraction_spark.functions.chunking import (
+            chunk_documents,
+            pack_chunks,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, " ".join("x" for _ in range(i % 9 + 1)))
+             for i in range(40)],
+            "doc_id long, text string",
+        )
+        key = ["doc_id", "chunk_idx"]
+        a = pack_chunks(chunk_documents(docs, 4, 3), capacity=8,
+                        n_shards=4).toPandas() \
+            .sort_values(key).reset_index(drop=True)
+        b = pack_chunks(chunk_documents(docs.repartition(7), 4, 3),
+                        capacity=8, n_shards=4).toPandas() \
+            .sort_values(key).reset_index(drop=True)
+        assert a.equals(b)
