@@ -244,8 +244,15 @@ def sample_frames(media: DataFrame, every_k: int = 10,
                         means.append(m); stds.append(s)
                         digs.append(d); dec.append(True)
                     continue
+                # degrade path: n_frames arrives as float64 (nullable
+                # long -> pandas) and may be NaN for an unknown
+                # container — emit nothing rather than ValueError the
+                # whole Arrow batch; the blob-wide stats are frame-
+                # independent, so compute them once, not per frame
+                if pd.isna(n_frames):
+                    continue
+                m, s, _ = _fake_pixel_stats(bytes(data))
                 for fi in range(0, int(n_frames), every_k):
-                    m, s, _ = _fake_pixel_stats(bytes(data))
                     ids.append(mid); idxs.append(fi)
                     means.append(m); stds.append(s)
                     digs.append(

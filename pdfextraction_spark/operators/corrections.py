@@ -47,7 +47,15 @@ def apply_corrections(merged: DataFrame,
     """Overlay validated (conv_id, field, corrected_value) rows over
     merge_conversation_fields output; override wins, provenance
     retained."""
-    c = corrections.select("conv_id", "field", "corrected_value")
+    # a hand-maintained corrections table can carry duplicate
+    # (conv_id, field) rows; collapse them deterministically (max
+    # corrected_value wins, nulls lose) so the broadcast left join
+    # cannot fan out and the overlay output is stable
+    c = (
+        corrections.select("conv_id", "field", "corrected_value")
+        .groupBy("conv_id", "field")
+        .agg(F.max("corrected_value").alias("corrected_value"))
+    )
     validated = F.col("corrected_value").isNotNull()
     overlaid = (
         merged.join(F.broadcast(c), ["conv_id", "field"], "left")

@@ -75,6 +75,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter without convergence means the labels are
+        # WRONG for some component (diameter > max_iter) — failing
+        # loudly beats silently splitting one near-dup cluster in two
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iter} iterations (component diameter exceeds "
+            f"max_iter); raise max_iter"
+        )
     return labels
 
 

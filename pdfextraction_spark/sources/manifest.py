@@ -121,8 +121,20 @@ def writer_lock(output_path: str, stale_after_sec: float = 3600.0):
                     stale = True  # same host, pid gone -> hard-killed
                 except PermissionError:
                     pass  # alive under another uid
-            elif time.time() - float(holder.get("ts", 0)) > stale_after_sec:
-                stale = True  # foreign/corrupt lock past the age bound
+            else:
+                # foreign-host OR unreadable/mid-write lock: age by the
+                # FILE's mtime, never by content — a concurrent creator
+                # that hasn't flushed its json yet reads as {} and a
+                # content-ts default of 0 would make a freshly-created
+                # LIVE lock look ancient and get reclaimed (the exact
+                # race the lock exists to prevent). mtime is stamped by
+                # the filesystem at creation, so a mid-write lock is
+                # always young.
+                try:
+                    age = time.time() - os.stat(lock_fp).st_mtime
+                except OSError:
+                    age = 0.0  # vanished -> retry the O_EXCL create
+                stale = age > stale_after_sec
             if stale and attempt == 0:
                 with contextlib.suppress(FileNotFoundError):
                     os.unlink(lock_fp)

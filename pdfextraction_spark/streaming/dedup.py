@@ -37,12 +37,12 @@ FINGERPRINT_COL = "content_fp"
 
 def with_content_fingerprint(df: DataFrame,
                              text_col: str = "text") -> DataFrame:
-    """Append the batch-identical dedup key: xxhash64 of
-    whitespace-normalized lowercased text."""
-    norm = F.regexp_replace(
-        F.lower(F.trim(F.col(text_col))), r"\s+", " "
-    )
-    return df.withColumn(FINGERPRINT_COL, F.xxhash64(norm))
+    """Append the batch-identical dedup key — delegates to
+    functions/text.fingerprint64 so the formula has exactly one home
+    and the streaming key can never drift from the batch key."""
+    from ..functions.text import fingerprint64
+
+    return df.withColumn(FINGERPRINT_COL, fingerprint64(F.col(text_col)))
 
 
 def stream_exact_dedup(

@@ -156,3 +156,24 @@ def test_fixture_corrections_deterministic(spark):
         ("conv-000010", "Employee Name"): "Validated Name 10",
         ("conv-000010", "Reviewer Note"): "reviewed-10",
     }
+
+
+def test_corrections_duplicate_keys_collapse(spark, merged):
+    """Duplicate (conv_id, field) rows in a hand-maintained
+    corrections table must not fan out the overlay join; the winner is
+    deterministic (max corrected_value, nulls lose)."""
+    corr = spark.createDataFrame(
+        [
+            ("conv-0", "Employee Name", "Alpha"),
+            ("conv-0", "Employee Name", "Zeta"),
+            ("conv-0", "Employee Name", None),
+        ],
+        "conv_id string, field string, corrected_value string",
+    )
+    rows = [
+        r for r in apply_corrections(merged, corr).collect()
+        if (r.conv_id, r.field) == ("conv-0", "Employee Name")
+    ]
+    assert len(rows) == 1
+    assert rows[0].value == "Zeta"
+    assert rows[0].source == "validated"

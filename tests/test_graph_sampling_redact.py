@@ -214,3 +214,15 @@ def test_hash_uniform_range(spark):
     ]
     assert all(0.0 <= v < 1.0 for v in vals)
     assert 0.4 < float(np.mean(vals)) < 0.6
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iter without convergence must fail loudly —
+    silently splitting one cluster in two corrupts dedup output."""
+    n = 8
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=2)

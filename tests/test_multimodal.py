@@ -378,3 +378,20 @@ def test_undecodable_blobs_degrade_not_die(spark):
     assert aud[0].sample_rate == 0  # fallback marker
     rs = M.resize_images(media, max_side=8).collect()
     assert len(rs) == 1 and not rs[0].resized
+
+
+def test_sample_frames_null_n_frames_degrades(spark):
+    """A video row with unknown n_frames (null meta -> NaN in pandas)
+    must yield zero rows for that item, not ValueError the whole
+    Arrow batch."""
+    import pdfextraction_spark.functions.multimodal as M
+
+    rows = [
+        (1, "c0", 0, "video", b"NOTGIF--blob-1", (None, None, None, 4, None)),
+        (2, "c0", 1, "video", b"NOTGIF--blob-2", (None, None, None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = M.sample_frames(media, every_k=2, num_partitions=2).toPandas()
+    assert set(out[out.media_id == 1].frame_idx) == {0, 2}
+    assert (out.media_id == 2).sum() == 0
+    assert not out.decoded.any()

@@ -271,16 +271,23 @@ def test_writer_lock_excludes_concurrent_and_reclaims_stale(
     assert not os.path.exists(lock_fp)
     # a foreign-host lock younger than the stale bound blocks...
     with open(lock_fp, "w") as f:
-        json.dump(
-            {"pid": 1, "host": "other-host", "ts": __import__("time").time()},
-            f,
-        )
+        json.dump({"pid": 1, "host": "other-host"}, f)
     with pytest.raises(WriterLockHeld):
         with writer_lock(out):
             pass
-    # ...and is reclaimed once past it
+    # ...as does an EMPTY (mid-write) lock file — an unreadable lock
+    # must read as HELD, not corrupt-therefore-stale (that would let
+    # two racing creators steal each other's fresh locks)
     with open(lock_fp, "w") as f:
-        json.dump({"pid": 1, "host": "other-host", "ts": 0.0}, f)
+        pass
+    with pytest.raises(WriterLockHeld):
+        with writer_lock(out):
+            pass
+    # ...and is reclaimed once the FILE (mtime, not content) ages past
+    # the bound
+    with open(lock_fp, "w") as f:
+        json.dump({"pid": 1, "host": "other-host"}, f)
+    os.utime(lock_fp, (0, 0))
     with writer_lock(out):
         pass
     assert not os.path.exists(lock_fp)
