@@ -134,6 +134,104 @@ def ensure_parallel_sf(sf_dir: str, n_files: int = 32) -> str:
     return path
 
 
+def ensure_growth_docs(n_docs: int, n_files: int = 32,
+                       seed: int = 7) -> str:
+    """Deterministic documents-shaped growth fixture (VERDICT r2 item
+    8: a 10x tier). The driver sf tables have a ~31-word vocabulary —
+    at 10x size every shingle crosses any sane hot-shingle threshold,
+    so growth timings on them measure the stoplist, not the blocking.
+    This generator uses a corpus-realistic 10k-word zipf vocabulary
+    with lognormal doc lengths and plants 3% token-mutated near-dups,
+    so pair densities stay in the regime the dedup family is built
+    for and the lo->hi exponent reflects real compute growth."""
+    import numpy as np
+    import pandas as pd
+
+    path = os.path.join(CACHE, f"growth_docs_{n_docs}_s{seed}_v1")
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i}" for i in range(10_000)])
+    # zipf ranks: p(i) ~ 1/(i+1)
+    p = 1.0 / np.arange(1, len(vocab) + 1)
+    p /= p.sum()
+    texts = []
+    lengths = np.clip(
+        rng.lognormal(mean=4.0, sigma=0.5, size=n_docs), 10, 400
+    ).astype(int)
+    for i in range(n_docs):
+        if i > 100 and rng.random() < 0.03:
+            # near-dup: mutate 10% of an earlier doc's tokens
+            src = texts[int(rng.integers(0, i - 1))].split(" ")
+            toks = np.array(src)
+            n_mut = max(1, len(toks) // 10)
+            pos = rng.integers(0, len(toks), size=n_mut)
+            toks[pos] = vocab[rng.choice(len(vocab), size=n_mut, p=p)]
+            texts.append(" ".join(toks))
+        else:
+            toks = vocab[rng.choice(len(vocab), size=lengths[i], p=p)]
+            texts.append(" ".join(toks))
+    df = pd.DataFrame({
+        "doc_id": np.arange(n_docs, dtype=np.int64),
+        "text": texts,
+        "lang": [("en", "de", "fr", "es", "pt")[i % 5]
+                 for i in range(n_docs)],
+        "source": [f"src{i % 20}" for i in range(n_docs)],
+    })
+    df["n_chars"] = df.text.str.len().astype("int64")
+    tmp = path + ".tmp"
+    out_dir = os.path.join(tmp, "documents.parquet")
+    os.makedirs(out_dir, exist_ok=True)
+    step = (len(df) + n_files - 1) // n_files
+    for i in range(n_files):
+        part = df.iloc[i * step:(i + 1) * step]
+        if len(part):
+            part.to_parquet(
+                os.path.join(out_dir, f"part-{i:05d}.parquet"),
+                index=False,
+            )
+    os.replace(tmp, path)
+    return path
+
+
+def ensure_growth_embeddings(n_vecs: int, dim: int = 64,
+                             n_files: int = 32, seed: int = 11) -> str:
+    """Clustered embeddings growth fixture. Cluster COUNT scales with
+    n (about 20 vectors per cluster): tight same-cluster pairs all
+    exceed any near-dup threshold, so a fixed cluster count would make
+    the TRUE pair output itself grow quadratically with n and no
+    blocking scheme could look linear — real corpora have small dup
+    clusters whose total pair count grows linearly."""
+    import numpy as np
+    import pandas as pd
+
+    n_clusters = max(50, n_vecs // 20)
+    path = os.path.join(CACHE, f"growth_emb_{n_vecs}_s{seed}_v2")
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 2.0
+    assign = rng.integers(0, n_clusters, size=n_vecs)
+    vecs = centers[assign] + rng.standard_normal((n_vecs, dim)) * 0.4
+    df = pd.DataFrame({
+        "vec_id": np.arange(n_vecs, dtype=np.int64),
+        "embedding": [row.astype(np.float32) for row in vecs],
+    })
+    tmp = path + ".tmp"
+    out_dir = os.path.join(tmp, "embeddings.parquet")
+    os.makedirs(out_dir, exist_ok=True)
+    step = (len(df) + n_files - 1) // n_files
+    for i in range(n_files):
+        part = df.iloc[i * step:(i + 1) * step]
+        if len(part):
+            part.to_parquet(
+                os.path.join(out_dir, f"part-{i:05d}.parquet"),
+                index=False,
+            )
+    os.replace(tmp, path)
+    return path
+
+
 def extract_worker(master: str, parquet: str, out_path: str) -> None:
     """Subprocess entry: run the extraction job once, write timing."""
     from pyspark.sql import functions as F
@@ -392,6 +490,51 @@ def run_sf_growth(tiers=("/root/testdata/sf0.01", "/root/testdata/sf0.1"),
             / math.log(n_hi / n_lo), 3
         ),
     }
+    # ---- synthetic 10x tiers (corpus-realistic vocabulary) --------
+    # The driver sf tables are tiny AND built on a ~31-word vocabulary,
+    # so their lo->hi walls are fixed-overhead-dominated (exponents
+    # << 1 prove nothing about blocking). These generated tiers are
+    # big enough that compute dominates, and their 10k-word zipf vocab
+    # keeps shingle document frequencies in the regime the stoplist /
+    # LSH dials are designed for. Embedding-family entries run the
+    # bits DIAL (bits ~ log2(n/occupancy)) — the operated config.
+    doc_tiers = [(5_000, ensure_growth_docs(5_000)),
+                 (50_000, ensure_growth_docs(50_000))]
+    emb_tiers = [(2_000, ensure_growth_embeddings(2_000)),
+                 (20_000, ensure_growth_embeddings(20_000))]
+    out["growth_fixture"] = {}
+    for q in GROWTH_QUERIES:
+        t = table_for[q]
+        g_tiers = doc_tiers if t == "documents" else emb_tiers
+        walls = []
+        extra = {}
+        for n, d in g_tiers:
+            if q.startswith("cosine_"):
+                bits = max(2, int(math.log2(max(n / 125, 2))))
+                emb = spark.read.parquet(
+                    os.path.join(d, "embeddings.parquet"))
+                fn = lambda: cosine_near_pairs(  # noqa: E731
+                    emb, threshold=0.4, blocked=True, bits=bits)
+                extra.setdefault("bits", []).append(bits)
+            else:
+                fn = lambda: qs[q](spark, d)  # noqa: E731
+            force(fn())  # untimed warm per tier
+            ws = []
+            for _ in range(n_runs):
+                t0 = time.time()
+                force(fn())
+                ws.append(time.time() - t0)
+            walls.append(sorted(ws)[len(ws) // 2])
+        (n_lo, _), (n_hi, _) = g_tiers
+        out["growth_fixture"][q] = {
+            "input_table": t,
+            "rows": [n_lo, n_hi],
+            **extra,
+            "wall_sec": [round(walls[0], 3), round(walls[1], 3)],
+            "exponent": round(
+                math.log(walls[1] / walls[0]) / math.log(n_hi / n_lo), 3
+            ),
+        }
     spark.stop()
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "SF_GROWTH.json")
@@ -445,6 +588,33 @@ def _sf_growth_md_lines() -> list:
         "true growth is O(n log n) pair verifications — log-linear, not",
         "the O(n^2) the fixed-bits row trends toward.",
     ]
+    if g.get("growth_fixture"):
+        lines += [
+            "",
+            "### Synthetic 10x tiers (corpus-realistic vocabulary)",
+            "",
+            "The driver sf tables are small and built on a ~31-word",
+            "vocabulary, so the rows above are fixed-overhead-dominated",
+            "(e << 1 proves nothing about blocking). These tiers",
+            "(bench.ensure_growth_docs / ensure_growth_embeddings: 10k-",
+            "word zipf vocab, lognormal lengths, 3% planted near-dups,",
+            "~20-vector embedding clusters so true pair counts stay",
+            "linear) are large enough that compute dominates; embedding",
+            "rows run the bits DIAL per tier. The dial row's e ~ 1.2 is",
+            "the documented O(n log n): probe count tracks bits ~ log n.",
+            "",
+            "| query | input rows | wall lo->hi (s) | exponent |",
+            "| --- | --- | --- | --- |",
+        ]
+        for q, r in g["growth_fixture"].items():
+            name = q
+            if "bits" in r:
+                name += f" (bits {r['bits'][0]}->{r['bits'][1]})"
+            lines.append(
+                f"| {name} | {r['rows'][0]}->{r['rows'][1]} "
+                f"| {r['wall_sec'][0]:.2f}->{r['wall_sec'][1]:.2f} "
+                f"| {r['exponent']:.2f} |"
+            )
     return lines
 
 
