@@ -69,6 +69,61 @@ def _cmd_fixture(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_curate(args: argparse.Namespace) -> int:
+    """Run the curation funnel over a documents-shaped parquet table:
+    quality/language gate -> exact-dedup canonicalization ->
+    repetition gate -> per-language quota sample; writes the selected
+    subset (doc_id, lang, sample_rank + original columns) and prints
+    per-stage counts as JSON."""
+    from pyspark.sql import functions as F
+
+    from .functions import text as X
+    from .functions.repetition import ngram_repetition_stats
+    from .functions.sampling import quota_sample
+    from .session import build_session
+
+    spark = build_session("pdfx-curate", master=args.master)
+    try:
+        docs = spark.read.parquet(args.input)
+        t = F.col("text")
+        gated = docs.filter(
+            (F.round(X.quality_score(t), 4) >= args.min_quality)
+            & X.is_english(t)
+        )
+        norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+        canon = (
+            gated.select(
+                "doc_id", F.md5(F.encode(norm, "UTF-8")).alias("fp")
+            )
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        survivors = gated.join(canon, "doc_id", "semi")
+        calm = (
+            ngram_repetition_stats(survivors, top_ns=(2,), dup_ns=())
+            .filter(F.col("top2_frac") <= args.max_top2_frac)
+            .select("doc_id")
+        )
+        final = survivors.join(calm, "doc_id", "semi")
+        selected = quota_sample(
+            final, k=args.per_lang, stratum_col="lang"
+        )
+        selected.write.mode(args.mode).parquet(args.output)
+        out = spark.read.parquet(args.output)
+        print(json.dumps({
+            "input_docs": docs.count(),
+            "after_quality_lang": gated.count(),
+            "after_exact_dedup": survivors.count(),
+            "after_repetition_gate": final.count(),
+            "selected": out.count(),
+            "output": args.output,
+        }))
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pdfextraction_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -87,6 +142,22 @@ def main(argv=None) -> int:
     z = sub.add_parser("package", help="build the --py-files zip")
     z.add_argument("--out", default="/tmp/pdfextraction_spark.zip")
     z.set_defaults(fn=_cmd_package)
+
+    c = sub.add_parser(
+        "curate",
+        help="curation funnel: quality gate -> dedup -> repetition "
+             "gate -> per-language quota sample",
+    )
+    c.add_argument("--input", required=True,
+                   help="documents-shaped parquet (doc_id, text, lang)")
+    c.add_argument("--output", required=True)
+    c.add_argument("--master", default="local[*]")
+    c.add_argument("--min-quality", type=float, default=0.5)
+    c.add_argument("--max-top2-frac", type=float, default=0.2)
+    c.add_argument("--per-lang", type=int, default=100000)
+    c.add_argument("--mode", default="error",
+                   help="parquet write mode (error|overwrite)")
+    c.set_defaults(fn=_cmd_curate)
 
     f = sub.add_parser("make-fixture", help="write a transcripts fixture")
     f.add_argument("--tier", default="xs", choices=["xs", "s", "bench"])

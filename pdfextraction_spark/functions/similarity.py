@@ -367,6 +367,35 @@ def _lloyd_step(embeddings: DataFrame, vec_col: str,
     return new
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 2,
+    vectorized: bool = False,
+) -> List[List[float]]:
+    """IVF index build: deterministic strided seed sample refined by
+    ``lloyd_iters`` distributed Lloyd iterations. Each iteration is
+    one Spark aggregation (posexplode -> per-(list, dim) mean) whose
+    collect is bounded at n_centroids x dim rows — vectors never leave
+    the cluster. Returned codebook feeds ivf_topk(centroids=...)."""
+    total = embeddings.count()
+    step = max(total // n_centroids, 1)
+    rows = (
+        embeddings.filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [list(map(float, r[0])) for r in rows]
+    for _ in range(lloyd_iters):
+        centroids = _lloyd_step(embeddings, vec_col, centroids,
+                                vectorized=vectorized)
+    return centroids
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -396,21 +425,17 @@ def ivf_topk(
     assignment (equality pinned in tests), but the codebook lives in
     the UDF closure, so the plan stays small and n_centroids can grow
     to IVF-realistic sizes (thousands); the oracle-exact expression
-    form remains the default for the driver query."""
+    form remains the default for the driver query.
+
+    Index-build vs query: centroid training is the BUILD step a
+    production deployment runs once and reuses across queries — call
+    :func:`train_ivf_centroids` yourself and pass ``centroids=`` to
+    amortize it (the bench reports build and query separately)."""
     if centroids is None:
-        total = embeddings.count()
-        step = max(total // n_centroids, 1)
-        rows = (
-            embeddings.filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
-            .orderBy(id_col)
-            .limit(n_centroids)
-            .select(vec_col)
-            .collect()
+        centroids = train_ivf_centroids(
+            embeddings, n_centroids, id_col=id_col, vec_col=vec_col,
+            lloyd_iters=lloyd_iters, vectorized=vectorized,
         )
-        centroids = [list(map(float, r[0])) for r in rows]
-        for _ in range(lloyd_iters):
-            centroids = _lloyd_step(embeddings, vec_col, centroids,
-                                    vectorized=vectorized)
     if vectorized:
         e = embeddings.select(
             F.col(id_col).alias("vec_id"),

@@ -65,3 +65,27 @@ def test_cli_extract_end_to_end(xs_parquet, tmp_path):
     assert summary2["partitions_done_before"] == 4
     assert summary2["partitions_processed"] == 0
     assert summary2["rows_written"] == 0
+
+
+@pytest.mark.slow
+def test_cli_curate_end_to_end(tmp_path):
+    """curate runs the full funnel over a documents parquet and
+    reports monotone per-stage counts."""
+    out = str(tmp_path / "curated")
+    r = subprocess.run(
+        [sys.executable, "-m", "pdfextraction_spark.cli", "curate",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out, "--master", "local[4]", "--per-lang", "5"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert (s["input_docs"] >= s["after_quality_lang"]
+            >= s["after_exact_dedup"] >= s["after_repetition_gate"]
+            >= s["selected"] > 0)
+    import duckdb
+
+    per_lang = duckdb.connect().execute(
+        f"select lang, count(*) from '{out}/*.parquet' group by lang"
+    ).fetchall()
+    assert all(c <= 5 for _, c in per_lang)
