@@ -771,6 +771,19 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: near-dup join of a 'new batch' (doc_id % 7
+    == 0) against the 'existing corpus' (the rest) — cross-side pairs
+    only, neither side self-joined. The everyday production shape:
+    each crawl increment dedups against the accumulated corpus."""
+    from pdfextraction_spark.functions.dedup import ngram_jaccard_join
+
+    docs = _t(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return ngram_jaccard_join(new_batch, corpus, threshold=0.2)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence chunking: 32-token windows, stride 24 (sized
     to the fixture's ~54-token docs so multi-chunk docs are common;
@@ -910,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_hits": q_contamination,
         "corpus_token_stats": q_corpus_token_stats,
         "quota_sample": q_quota_sample,
+        "ngram_jaccard_join": q_ngram_jaccard_join,
         "chunk_documents": q_chunk_documents,
         "pack_chunks": q_pack_chunks,
         "curation_funnel": q_curation_funnel,
@@ -1195,6 +1209,8 @@ def _portable_oracle_sql() -> dict[str, str]:
         "contamination_hits": P.contamination_hits_sql(n=3, eval_mod=41),
         "corpus_token_stats": P.corpus_token_stats_sql(rare_df_max=385),
         "quota_sample": P.quota_sample_sql(k=5, stratum_col="lang"),
+        "ngram_jaccard_join": P.ngram_jaccard_join_sql(left_mod=7,
+                                                       threshold=0.2),
         "chunk_documents": P.chunk_documents_sql(chunk_tokens=32,
                                                  stride=24),
         "pack_chunks": P.pack_chunks_sql(chunk_tokens=32, stride=24,

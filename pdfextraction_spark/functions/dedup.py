@@ -138,6 +138,77 @@ def hot_shingles(df: DataFrame, text_col: str = "text",
     )
 
 
+def ngram_jaccard_join(left: DataFrame, right: DataFrame,
+                       threshold: float = 0.6, n: int = 3,
+                       max_shingle_df: int = 1000,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """ASYMMETRIC near-dup join — the incremental-dedup primitive:
+    (left_id, right_id, jaccard >= threshold) across two corpora,
+    with NEITHER side self-joined. This is how a new crawl batch is
+    deduplicated against the existing corpus: candidates come from one
+    equi-join of the two sides' cold-shingle occurrence lists, so cost
+    is O(cross-corpus collisions), never O(|new|^2) or O(|corpus|^2).
+
+    Same stoplist/exactness contract as ngram_jaccard_pairs: the hot
+    set (document frequency > max_shingle_df, computed over the UNION
+    of both sides — a shingle hot in the reference corpus must not
+    explode candidates from the new batch either) is excluded from
+    candidate generation only; the reported Jaccard adds
+    |hot_l ∩ hot_r| back from per-doc hot arrays and stays exact.
+    Shuffle keys are xxhash64 longs throughout (same collision policy
+    as exact_dedup)."""
+
+    def side(df: DataFrame, out_id: str):
+        sh = with_shingles(df, text_col, id_col, n)
+        sizes = sh.select(
+            F.col("doc_id").alias(out_id), F.size("shingles").alias("n_sh")
+        )
+        ex = sh.select(
+            F.col("doc_id").alias(out_id), F.explode("shingles").alias("sh")
+        ).select(out_id, F.xxhash64("sh").alias("h"))
+        return sizes, ex
+
+    sizes_l, ex_l = side(left, "left_id")
+    sizes_r, ex_r = side(right, "right_id")
+    hot = _hot_shingle_hashes(
+        ex_l.select("h").unionAll(ex_r.select("h")), max_shingle_df
+    )
+    cold_l = ex_l.join(F.broadcast(hot), "h", "left_anti")
+    cold_r = ex_r.join(F.broadcast(hot), "h", "left_anti")
+    inter = (
+        cold_l.join(cold_r, "h")
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("n_cold"))
+    )
+
+    def hot_sets(ex: DataFrame, out_id: str, out_col: str):
+        return (
+            ex.join(F.broadcast(hot), "h", "semi")
+            .groupBy(out_id)
+            .agg(F.collect_list("h").alias(out_col))
+        )
+
+    empty = F.array().cast("array<bigint>")
+    n_inter = F.col("n_cold") + F.size(
+        F.array_intersect(
+            F.coalesce("hot_l", empty), F.coalesce("hot_r", empty)
+        )
+    )
+    return (
+        inter.join(sizes_l, "left_id")
+        .join(sizes_r.withColumnRenamed("n_sh", "n_sh_r"), "right_id")
+        .join(hot_sets(ex_l, "left_id", "hot_l"), "left_id", "left")
+        .join(hot_sets(ex_r, "right_id", "hot_r"), "right_id", "left")
+        .withColumn(
+            "jaccard",
+            F.round(n_inter / (F.col("n_sh") + F.col("n_sh_r") - n_inter), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.6,

@@ -607,3 +607,38 @@ def pack_chunks_sql(chunk_tokens: int = 32, stride: int = 24,
                CAST(start % {capacity} AS BIGINT) AS bin_offset
         FROM cum
     """
+
+
+def ngram_jaccard_join_sql(left_mod: int = 7, n: int = 3,
+                           threshold: float = 0.2,
+                           table: str = "documents") -> str:
+    """Mirror of ngram_jaccard_join with the driver's split: left =
+    doc_id % left_mod == 0 (the 'new batch'), right = the rest (the
+    'existing corpus'). No stoplist term: the sf fixture has no
+    shingle past the hot threshold, so the exact cross-side Jaccard
+    over ALL shared shingles is the complete answer (the Spark side's
+    hot-array add-back reduces to n_cold)."""
+    return f"""
+        WITH {_shingle_cte(table, n)},
+        sl AS (SELECT doc_id AS left_id, s FROM sh
+               WHERE doc_id % {left_mod} = 0),
+        sr AS (SELECT doc_id AS right_id, s FROM sh
+               WHERE doc_id % {left_mod} <> 0),
+        sizes_l AS (SELECT left_id, count(*) AS n_l FROM sl
+                    GROUP BY left_id),
+        sizes_r AS (SELECT right_id, count(*) AS n_r FROM sr
+                    GROUP BY right_id),
+        inter AS (
+          SELECT sl.left_id, sr.right_id, count(*) AS n_inter
+          FROM sl JOIN sr ON sl.s = sr.s
+          GROUP BY sl.left_id, sr.right_id
+        )
+        SELECT i.left_id, i.right_id,
+               round(i.n_inter * 1.0 / (a.n_l + b.n_r - i.n_inter), 6)
+                 AS jaccard
+        FROM inter i
+        JOIN sizes_l a USING (left_id)
+        JOIN sizes_r b USING (right_id)
+        WHERE round(i.n_inter * 1.0 / (a.n_l + b.n_r - i.n_inter), 6)
+                >= {threshold}
+    """

@@ -367,3 +367,67 @@ def test_cosine_near_pairs_blocked_vs_exact(emb):
     assert len(g) / len(t) >= 0.8
     merged = exact.merge(blocked, on=["id_a", "id_b"], suffixes=("_t", "_g"))
     assert (merged["cos_sim_t"] == merged["cos_sim_g"]).all()
+
+
+class TestAsymmetricJoin:
+    def test_cross_side_equals_restricted_self_pairs(self, spark, docs):
+        """ngram_jaccard_join(A, B) must equal ngram_jaccard_pairs over
+        the union restricted to cross-side pairs (same threshold) —
+        the asymmetric form is a subset computation, not a different
+        similarity."""
+        from pyspark.sql import functions as F
+
+        a = docs.filter(F.col("doc_id") % 3 == 0)
+        b = docs.filter(F.col("doc_id") % 3 != 0)
+        joined = {
+            (r.left_id, r.right_id, r.jaccard)
+            for r in D.ngram_jaccard_join(a, b, threshold=0.5).collect()
+        }
+        self_pairs = D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        expected = set()
+        for r in self_pairs:
+            sa, sb = r.id_a % 3 == 0, r.id_b % 3 == 0
+            if sa != sb:  # cross-side only
+                l, rr = (r.id_a, r.id_b) if sa else (r.id_b, r.id_a)
+                expected.add((l, rr, r.jaccard))
+        assert joined == expected
+        assert len(joined) > 0
+
+    def test_no_same_side_pairs(self, spark, docs):
+        from pyspark.sql import functions as F
+
+        a = docs.filter(F.col("doc_id") % 3 == 0)
+        b = docs.filter(F.col("doc_id") % 3 != 0)
+        out = D.ngram_jaccard_join(a, b, threshold=0.3).toPandas()
+        assert (out.left_id % 3 == 0).all()
+        assert (out.right_id % 3 != 0).all()
+
+    def test_hot_shingle_exactness_across_sides(self, spark):
+        """A shingle made hot by the UNION df is excluded from
+        candidate generation on BOTH sides but added back into the
+        intersection count, keeping the reported Jaccard exact."""
+        boiler = "common boiler plate line here now"
+        rows_a = [(1, boiler + " alpha beta gamma delta")]
+        rows_b = [(100 + i, boiler + f" tail{i} x{i} y{i} z{i}")
+                  for i in range(6)]
+        a = spark.createDataFrame(rows_a, "doc_id long, text string")
+        b = spark.createDataFrame(rows_b, "doc_id long, text string")
+        # max_shingle_df=3: the boilerplate shingles (df=7) are hot
+        got = {
+            (r.left_id, r.right_id): r.jaccard
+            for r in D.ngram_jaccard_join(
+                a, b, threshold=0.0, max_shingle_df=3
+            ).collect()
+        }
+        # exact jaccard computed off raw shingle sets
+        import itertools
+
+        def shset(text):
+            t = text.lower().split()
+            return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+        for (la, ta), (lb, tb) in itertools.product(rows_a, rows_b):
+            sa, sb = shset(ta), shset(tb)
+            j = round(len(sa & sb) / len(sa | sb), 6)
+            if (la, lb) in got:
+                assert got[(la, lb)] == j
