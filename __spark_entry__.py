@@ -784,6 +784,20 @@ def q_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_join(new_batch, corpus, threshold=0.2)
 
 
+def q_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup SCALE path: same new-batch-vs-corpus split as
+    ngram_jaccard_join but candidates come from cross-side minhash
+    band collisions (portable md5 family) — both sides can be
+    arbitrarily large; exact Jaccard verifies before emit."""
+    from pdfextraction_spark.functions.dedup import minhash_lsh_join
+
+    docs = _t(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return minhash_lsh_join(new_batch, corpus, threshold=0.2,
+                            portable=True)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence chunking: 32-token windows, stride 24 (sized
     to the fixture's ~54-token docs so multi-chunk docs are common;
@@ -924,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_stats": q_corpus_token_stats,
         "quota_sample": q_quota_sample,
         "ngram_jaccard_join": q_ngram_jaccard_join,
+        "minhash_lsh_join": q_minhash_lsh_join,
         "chunk_documents": q_chunk_documents,
         "pack_chunks": q_pack_chunks,
         "curation_funnel": q_curation_funnel,
@@ -1211,6 +1226,8 @@ def _portable_oracle_sql() -> dict[str, str]:
         "quota_sample": P.quota_sample_sql(k=5, stratum_col="lang"),
         "ngram_jaccard_join": P.ngram_jaccard_join_sql(left_mod=7,
                                                        threshold=0.2),
+        "minhash_lsh_join": P.minhash_lsh_join_sql(left_mod=7,
+                                                   threshold=0.2),
         "chunk_documents": P.chunk_documents_sql(chunk_tokens=32,
                                                  stride=24),
         "pack_chunks": P.pack_chunks_sql(chunk_tokens=32, stride=24,

@@ -327,6 +327,86 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return agg.select("doc_id", sig.alias("signature"))
 
 
+def _band_bucket_rows(sigs: DataFrame, bands: int, r: int,
+                      portable: bool) -> DataFrame:
+    """(doc_id, band, bucket) rows from minhash signatures: each band
+    is r consecutive signature values joined to one bucket key
+    (xxhash64'd to a long in production; raw string when portable so
+    the SQL oracle can reproduce it)."""
+
+    def band_key(bi: int):
+        joined = F.array_join(
+            F.transform(
+                F.slice("signature", bi * r + 1, r),
+                lambda v: v.cast("string"),
+            ),
+            ",",
+        )
+        return joined if portable else F.xxhash64(joined)
+
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        band_key(bi).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_join(left: DataFrame, right: DataFrame,
+                     threshold: float = 0.5, n: int = 3,
+                     num_hashes: int = 32, bands: int = 8,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     portable: bool = False) -> DataFrame:
+    """LSH-blocked ASYMMETRIC near-dup join — the scale path of
+    ngram_jaccard_join when BOTH sides are large: candidates must
+    collide in a minhash band across sides (cross-side bucket
+    equi-join, no side self-joins), then exact cross-side Jaccard
+    verifies. Same s-curve recall as minhash_lsh_pairs; every emitted
+    pair is exact (verify-before-emit)."""
+    r = num_hashes // bands
+    bl = _band_bucket_rows(
+        minhash_signatures(left, text_col, id_col, n, num_hashes,
+                           portable), bands, r, portable
+    ).withColumnRenamed("doc_id", "left_id")
+    br = _band_bucket_rows(
+        minhash_signatures(right, text_col, id_col, n, num_hashes,
+                           portable), bands, r, portable
+    ).withColumnRenamed("doc_id", "right_id")
+    cand = (
+        bl.join(br, ["band", "bucket"])
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    sa = with_shingles(left, text_col, id_col, n).select(
+        F.col("doc_id").alias("left_id"), F.col("shingles").alias("sh_a")
+    )
+    sb = with_shingles(right, text_col, id_col, n).select(
+        F.col("doc_id").alias("right_id"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        cand.join(sa, "left_id")
+        .join(sb, "right_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       num_hashes: int = 32, bands: int = 8,
@@ -344,31 +424,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     keys, the 100 TB path)."""
     r = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, portable)
-
-    def band_key(bi: int):
-        joined = F.array_join(
-            F.transform(
-                F.slice("signature", bi * r + 1, r),
-                lambda v: v.cast("string"),
-            ),
-            ",",
-        )
-        return joined if portable else F.xxhash64(joined)
-
-    bucket_rows = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        band_key(bi).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    bucket_rows = _band_bucket_rows(sigs, bands, r, portable)
     a = bucket_rows.alias("a")
     b = bucket_rows.alias("b")
     cand = (

@@ -642,3 +642,51 @@ def ngram_jaccard_join_sql(left_mod: int = 7, n: int = 3,
         WHERE round(i.n_inter * 1.0 / (a.n_l + b.n_r - i.n_inter), 6)
                 >= {threshold}
     """
+
+
+def minhash_lsh_join_sql(left_mod: int = 7, table: str = "documents",
+                         n: int = 3, num_hashes: int = 32,
+                         bands: int = 8,
+                         threshold: float = 0.2) -> str:
+    """Mirror of minhash_lsh_join(portable=True) with the driver's
+    split (left = doc_id % left_mod == 0): md5-prefix signatures over
+    ALL docs, cross-side band-bucket candidates, exact cross-side
+    Jaccard verification."""
+    r = num_hashes // bands
+    return f"""
+        WITH {_shingle_cte(table, n)},
+        sig AS (
+          SELECT doc_id, i // {r} AS band,
+                 string_agg(mh, ',' ORDER BY i) AS key
+          FROM (
+            SELECT doc_id, i,
+                   MIN(substring(md5(i || ':' || s), 1, 16)) AS mh
+            FROM sh,
+              LATERAL (SELECT unnest(generate_series(0, {num_hashes - 1})) AS i)
+            GROUP BY doc_id, i
+          ) mh
+          GROUP BY doc_id, band
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+          FROM sig a
+          JOIN sig b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id % {left_mod} = 0
+            AND b.doc_id % {left_mod} <> 0
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT c.left_id, c.right_id, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.left_id
+          JOIN sh b ON b.doc_id = c.right_id AND b.s = a.s
+          GROUP BY c.left_id, c.right_id
+        )
+        SELECT i.left_id, i.right_id,
+               round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6)
+                 AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.left_id
+        JOIN sizes sb ON sb.doc_id = i.right_id
+        WHERE round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6)
+                >= {threshold}
+    """

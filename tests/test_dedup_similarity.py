@@ -431,3 +431,25 @@ class TestAsymmetricJoin:
             j = round(len(sa & sb) / len(sa | sb), 6)
             if (la, lb) in got:
                 assert got[(la, lb)] == j
+
+    def test_minhash_join_recall_vs_exact(self, spark, docs):
+        """LSH-blocked asymmetric join: emitted pairs are a verified
+        subset of the exact asymmetric join with high recall (r=2,
+        b=16 -> ~0.99 catch probability at s=0.5)."""
+        from pyspark.sql import functions as F
+
+        a = docs.filter(F.col("doc_id") % 3 == 0)
+        b = docs.filter(F.col("doc_id") % 3 != 0)
+        exact = {
+            (r.left_id, r.right_id, r.jaccard)
+            for r in D.ngram_jaccard_join(a, b, threshold=0.5).collect()
+        }
+        lsh = {
+            (r.left_id, r.right_id, r.jaccard)
+            for r in D.minhash_lsh_join(a, b, threshold=0.5,
+                                        num_hashes=32,
+                                        bands=16).collect()
+        }
+        assert exact, "fixture must contain cross-side near-dups"
+        assert lsh <= exact          # verify-before-emit: no FPs
+        assert len(lsh) / len(exact) >= 0.9
