@@ -798,6 +798,21 @@ def q_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                             portable=True)
 
 
+def q_cosine_near_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding dedup: LSH-blocked asymmetric near-dup
+    join of a 'new batch' of vectors (vec_id % 7 == 0) against the
+    corpus — the new-batch side multiprobes, exact cosine verifies.
+    bits=4 for fixture-scale recall (same dial note as the symmetric
+    blocked query)."""
+    from pdfextraction_spark.functions.similarity import cosine_near_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    new_batch = emb.filter(F.col("vec_id") % 7 == 0)
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    return cosine_near_join(new_batch, corpus, threshold=0.4, bits=4,
+                            portable=True)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence chunking: 32-token windows, stride 24 (sized
     to the fixture's ~54-token docs so multi-chunk docs are common;
@@ -939,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": q_quota_sample,
         "ngram_jaccard_join": q_ngram_jaccard_join,
         "minhash_lsh_join": q_minhash_lsh_join,
+        "cosine_near_join": q_cosine_near_join,
         "chunk_documents": q_chunk_documents,
         "pack_chunks": q_pack_chunks,
         "curation_funnel": q_curation_funnel,
@@ -1228,6 +1244,9 @@ def _portable_oracle_sql() -> dict[str, str]:
                                                        threshold=0.2),
         "minhash_lsh_join": P.minhash_lsh_join_sql(left_mod=7,
                                                    threshold=0.2),
+        "cosine_near_join": P.cosine_near_join_sql(left_mod=7,
+                                                   threshold=0.4,
+                                                   bits=4),
         "chunk_documents": P.chunk_documents_sql(chunk_tokens=32,
                                                  stride=24),
         "pack_chunks": P.pack_chunks_sql(chunk_tokens=32, stride=24,

@@ -166,6 +166,75 @@ def cosine_near_pairs(
     )
 
 
+def cosine_near_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    dim: int = 64,
+    planes: Optional[List[List[float]]] = None,
+    multiprobe: bool = True,
+    portable: bool = False,
+) -> DataFrame:
+    """ASYMMETRIC embedding near-dup join — incremental dedup on the
+    embedding column: (left_id, right_id, cos_sim >= threshold) across
+    two corpora, neither side self-joined. Candidates must share a
+    sign-LSH bucket (the LEFT/new-batch side multiprobes its
+    Hamming-1 buckets — the smaller side pays the probe fan-out);
+    exact cosine verifies before emit. Same plane family and recall
+    model as cosine_near_pairs(blocked=True)."""
+    if portable and planes is None:
+        planes = det_int_planes(dim, bits)
+    planes = planes or random_hyperplanes(dim, bits)
+
+    def side(df: DataFrame, out_id: str):
+        e = df.select(
+            F.col(id_col).alias(out_id),
+            _as_double(F.col(vec_col)).alias("v"),
+        ).withColumn("n", _norm(F.col("v")))
+        return e.withColumn(
+            "bucket", lsh_bucket_id(F.col("v"), planes, quantize=portable)
+        )
+
+    el = side(left, "left_id")
+    er = side(right, "right_id")
+    probe_list = (
+        F.array(F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                  for i in range(len(planes))])
+        if multiprobe
+        else F.array(F.col("bucket"))
+    )
+    pl = el.select(
+        "left_id",
+        F.col("v").alias("v_l"),
+        F.col("n").alias("n_l"),
+        F.explode(probe_list).alias("bucket"),
+    )
+    pr = er.select(
+        "right_id",
+        F.col("v").alias("v_r"),
+        F.col("n").alias("n_r"),
+        "bucket",
+    )
+    return (
+        pl.join(pr, "bucket")
+        .select(
+            "left_id",
+            "right_id",
+            F.round(
+                _dot(F.col("v_l"), F.col("v_r"))
+                / (F.col("n_l") * F.col("n_r")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
 def random_hyperplanes(dim: int, bits: int = 8, seed: int = 42) -> List[List[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim)).tolist()

@@ -690,3 +690,34 @@ def minhash_lsh_join_sql(left_mod: int = 7, table: str = "documents",
         WHERE round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6)
                 >= {threshold}
     """
+
+
+def cosine_near_join_sql(left_mod: int = 7, table: str = "embeddings",
+                         threshold: float = 0.4, bits: int = 8,
+                         dim: int = 64) -> str:
+    """Mirror of cosine_near_join(portable=True, multiprobe=True) with
+    the driver's split: left = vec_id % left_mod == 0 (probes its
+    Hamming-1 buckets), right = the rest."""
+    return f"""
+        WITH {_bucket_ctes(table, bits, dim)},
+        probes_l AS (
+          SELECT vec_id AS left_id, bucket FROM buck
+          WHERE vec_id % {left_mod} = 0
+          UNION ALL
+          SELECT b2.vec_id, xor(b2.bucket, CAST(1 AS BIGINT) << fb.i)
+          FROM buck b2,
+               (SELECT unnest(generate_series(0, {bits - 1})) AS i) fb
+          WHERE b2.vec_id % {left_mod} = 0
+        ), pairs AS (
+          SELECT DISTINCT l.left_id, r.vec_id AS right_id
+          FROM probes_l l
+          JOIN buck r ON l.bucket = r.bucket
+          WHERE r.vec_id % {left_mod} <> 0
+        )
+        SELECT p.left_id, p.right_id,
+               round(list_cosine_similarity(el.v, er.v), 6) AS cos_sim
+        FROM pairs p
+        JOIN e el ON el.vec_id = p.left_id
+        JOIN e er ON er.vec_id = p.right_id
+        WHERE round(list_cosine_similarity(el.v, er.v), 6) >= {threshold}
+    """

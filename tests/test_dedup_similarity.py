@@ -453,3 +453,29 @@ class TestAsymmetricJoin:
         assert exact, "fixture must contain cross-side near-dups"
         assert lsh <= exact          # verify-before-emit: no FPs
         assert len(lsh) / len(exact) >= 0.9
+
+    def test_cosine_join_recall_vs_exact(self, spark, emb):
+        """Asymmetric embedding join: emitted pairs are exact-cosine
+        verified; recall measured vs the exact cross-side pair set."""
+        from pyspark.sql import functions as F
+
+        a = emb.filter(F.col("vec_id") % 4 == 0)
+        b = emb.filter(F.col("vec_id") % 4 != 0)
+        exact_all = S.cosine_near_pairs(
+            emb, threshold=0.85, blocked=False, dim=32
+        ).toPandas()
+        exact = {
+            (l, r, c) if l % 4 == 0 else (r, l, c)
+            for l, r, c in zip(exact_all.id_a, exact_all.id_b,
+                               exact_all.cos_sim)
+            if (l % 4 == 0) != (r % 4 == 0)
+        }
+        got = {
+            (r.left_id, r.right_id, r.cos_sim)
+            for r in S.cosine_near_join(
+                a, b, threshold=0.85, bits=4, dim=32
+            ).collect()
+        }
+        assert exact, "fixture must contain cross-side near pairs"
+        assert got <= exact
+        assert len(got) / len(exact) >= 0.6  # 4-bit + multiprobe
