@@ -813,6 +813,45 @@ def q_cosine_near_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                             portable=True)
 
 
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jegou et al. 2011): each dim-64
+    vector becomes 8 sub-space codes against deterministic seed
+    codebooks — the compression half of IVF-PQ, a 32x storage
+    reduction at billion-vector scale. Codes exported comma-joined
+    (driver canonicalization needs scalar columns)."""
+    from pdfextraction_spark.functions.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, m=8, k=16, dim=64)
+    return pq_encode(emb, books).select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+        ).alias("codes"),
+    )
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search: asymmetric distance over CODES ONLY — per query an
+    exact 8x16 sub-distance table, candidate distance = 8 table
+    lookups (independent of dim). The IVF-PQ search half; recall vs
+    brute force pinned in pytest."""
+    from pdfextraction_spark.functions.similarity import (
+        pq_adc_topk,
+        pq_train_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, m=8, k=16, dim=64)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(emb, queries, books, k=10)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence chunking: 32-token windows, stride 24 (sized
     to the fixture's ~54-token docs so multi-chunk docs are common;
@@ -955,6 +994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_join": q_ngram_jaccard_join,
         "minhash_lsh_join": q_minhash_lsh_join,
         "cosine_near_join": q_cosine_near_join,
+        "pq_encode": q_pq_encode,
+        "pq_adc_topk": q_pq_adc_topk,
         "chunk_documents": q_chunk_documents,
         "pack_chunks": q_pack_chunks,
         "curation_funnel": q_curation_funnel,
@@ -1247,6 +1288,9 @@ def _portable_oracle_sql() -> dict[str, str]:
         "cosine_near_join": P.cosine_near_join_sql(left_mod=7,
                                                    threshold=0.4,
                                                    bits=4),
+        "pq_encode": P.pq_encode_sql(m=8, k=16, dim=64),
+        "pq_adc_topk": P.pq_adc_topk_sql(m=8, k_cent=16, dim=64,
+                                         k=10, n_queries=5),
         "chunk_documents": P.chunk_documents_sql(chunk_tokens=32,
                                                  stride=24),
         "pack_chunks": P.pack_chunks_sql(chunk_tokens=32, stride=24,

@@ -235,6 +235,176 @@ def cosine_near_join(
     )
 
 
+# --------------------------------------------------------------------------
+# product quantization (PQ) — the compression half of IVF-PQ, the
+# standard layout for billion-scale embedding stores: a dim-d vector
+# becomes m one-byte-ish codes (one per subspace), an ~d*4/m x
+# compression, and search scores candidates with an asymmetric
+# distance computation (ADC): per query, one m x k table of exact
+# sub-distances; a candidate's approximate distance is m table
+# lookups, never a d-dim dot product. (Jegou et al., PAMI 2011.)
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> List[List[List[float]]]:
+    """Deterministic PQ codebooks: the strided seed sample's
+    subvectors (same seeding discipline as train_ivf_centroids —
+    reproducible in SQL, so the driver oracle can re-derive the exact
+    codebooks). Returns m codebooks of k centroids of dim/m floats.
+    Production refinement would run per-subspace Lloyd exactly like
+    the IVF path; the seed codebooks are the oracle-exact config."""
+    d_sub = dim // m
+    total = embeddings.count()
+    step = max(total // k, 1)
+    rows = (
+        embeddings.filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
+        .orderBy(id_col)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    seeds = [list(map(float, r[0])) for r in rows]
+    return [
+        [seed[j * d_sub:(j + 1) * d_sub] for seed in seeds]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: List[List[List[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>): per subspace, the 1-based index of
+    the nearest codebook centroid by squared L2, rounded to 6dp with
+    first-wins ties — reproducible across engines. The cast vector and
+    every per-subspace distance array are staged projection columns
+    (the interpreted-HOF staging rule)."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+    staged = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    for j, book in enumerate(codebooks):
+        sub = F.slice(F.col("v"), j * d_sub + 1, d_sub)
+        staged = staged.withColumn(f"__sub{j}", sub)
+        dists = []
+        for c in book:
+            lit = F.array(*[F.lit(float(x)) for x in c])
+            diff = F.zip_with(F.col(f"__sub{j}"), lit, lambda a, b: a - b)
+            dists.append(
+                F.round(
+                    F.aggregate(
+                        F.transform(diff, lambda x: x * x),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                )
+            )
+        staged = staged.withColumn(f"__d{j}", F.array(*dists))
+    code_cols = [
+        F.array_position(F.col(f"__d{j}"), F.array_min(F.col(f"__d{j}")))
+        .cast("int")
+        .alias(f"c{j}")
+        for j in range(m)
+    ]
+    coded = staged.select("vec_id", *code_cols)
+    return coded.select(
+        "vec_id",
+        F.array(*[F.col(f"c{j}") for j in range(m)]).alias("codes"),
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebooks: List[List[List[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ search by asymmetric distance: corpus vectors are REDUCED TO
+    CODES (pq_encode — at store scale only the codes are persisted);
+    each query's exact m x k sub-distance table rides the plan as a
+    literal, and a candidate's approximate distance is the sum of m
+    table lookups via zip_with(codes, table) — O(m) per candidate,
+    independent of dim. Queries are collected driver-side (the query
+    set is bounded, same stance as the IVF centroid collect).
+
+    Output: (query_id, vec_id, approx_dist_micros, rank) — rank 1 =
+    nearest, ties by vec_id. Distances are INTEGER micro-units
+    (round(dist, 6) * 1e6 per table entry, summed as longs): an
+    8-term float sum's addition order differs between engines and
+    could flip a 6dp rounding, while integer sums are order-free —
+    the same exact-arithmetic stance as the repetition fractions.
+    Recall vs exact brute force is pinned in pytest (approximation
+    error is the quantization error; raise m/k to shrink it)."""
+    d_sub = len(codebooks[0][0])
+    coded = pq_encode(embeddings, codebooks, id_col, vec_col)
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).collect()
+    per_query = []
+    for r in q_rows:
+        qv = list(map(float, r.qv))
+        table = [
+            [
+                int(round(
+                    round(
+                        sum(
+                            (qv[j * d_sub + t] - c[t]) ** 2
+                            for t in range(d_sub)
+                        ),
+                        6,
+                    ) * 1_000_000
+                ))
+                for c in book
+            ]
+            for j, book in enumerate(codebooks)
+        ]
+        t_lit = F.array(
+            *[F.array(*[F.lit(x).cast("long") for x in row])
+              for row in table]
+        )
+        score = F.aggregate(
+            F.zip_with(
+                F.col("codes"), t_lit,
+                lambda c, row: F.element_at(row, c),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        per_query.append(
+            coded.filter(F.col("vec_id") != F.lit(r.query_id)).select(
+                F.lit(r.query_id).alias("query_id"),
+                "vec_id",
+                score.alias("approx_dist_micros"),
+            )
+        )
+    scored = per_query[0]
+    for df in per_query[1:]:
+        scored = scored.unionByName(df)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist_micros"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def random_hyperplanes(dim: int, bits: int = 8, seed: int = 42) -> List[List[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim)).tolist()

@@ -721,3 +721,112 @@ def cosine_near_join_sql(left_mod: int = 7, table: str = "embeddings",
         JOIN e er ON er.vec_id = p.right_id
         WHERE round(list_cosine_similarity(el.v, er.v), 6) >= {threshold}
     """
+
+
+def pq_encode_sql(table: str = "embeddings", m: int = 8, k: int = 16,
+                  dim: int = 64) -> str:
+    """Mirror of pq_train_codebooks (strided seed subvectors) +
+    pq_encode: per subspace, 1-based argmin of rounded squared L2 to
+    the codebook (first-wins via list_position). Codes exported as a
+    comma-joined string (driver canonicalization needs scalar
+    columns)."""
+    d = dim // m
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+        ), st AS (
+          SELECT greatest(COUNT(*) // {k}, 1) AS step FROM e
+        ), seed AS (
+          SELECT e.vec_id, e.v FROM e, st
+          WHERE e.vec_id % st.step = 0
+          ORDER BY e.vec_id LIMIT {k}
+        ), books AS (
+          -- codebook (j, c, centroid subvector): subspace j of seed c
+          SELECT j.j,
+                 row_number() OVER (PARTITION BY j.j
+                                    ORDER BY seed.vec_id) AS c,
+                 v[j.j * {d} + 1 : (j.j + 1) * {d}] AS cent
+          FROM seed, (SELECT unnest(generate_series(0, {m - 1})) AS j) j
+        ), dists AS (
+          SELECT e.vec_id, b.j, b.c,
+                 round(list_sum([pow(x, 2) for x in
+                   list_transform(
+                     list_zip(e.v[b.j * {d} + 1 : (b.j + 1) * {d}],
+                              b.cent),
+                     p -> p[1] - p[2])]), 6) AS dist
+          FROM e, books b
+        ), codes AS (
+          SELECT vec_id, j, CAST(c AS INTEGER) AS code FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY dist ASC, c ASC) AS rn
+            FROM dists
+          ) WHERE rn = 1
+        )
+        SELECT vec_id,
+               string_agg(CAST(code AS VARCHAR), ',' ORDER BY j)
+                 AS codes
+        FROM codes GROUP BY vec_id
+    """
+
+
+def pq_adc_topk_sql(table: str = "embeddings", m: int = 8, k_cent: int = 16,
+                    dim: int = 64, k: int = 10,
+                    n_queries: int = 5) -> str:
+    """Mirror of pq_adc_topk: same seed codebooks + codes as
+    pq_encode_sql, per-query exact sub-distance tables in integer
+    micro-units (order-free BIGINT sums — an 8-term double sum's
+    addition order is engine-dependent), rank by (micros, vec_id)."""
+    d = dim // m
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+        ), st AS (
+          SELECT greatest(COUNT(*) // {k_cent}, 1) AS step FROM e
+        ), seed AS (
+          SELECT e.vec_id, e.v FROM e, st
+          WHERE e.vec_id % st.step = 0
+          ORDER BY e.vec_id LIMIT {k_cent}
+        ), books AS (
+          SELECT j.j,
+                 row_number() OVER (PARTITION BY j.j
+                                    ORDER BY seed.vec_id) AS c,
+                 v[j.j * {d} + 1 : (j.j + 1) * {d}] AS cent
+          FROM seed, (SELECT unnest(generate_series(0, {m - 1})) AS j) j
+        ), dists AS (
+          SELECT e.vec_id, b.j, b.c,
+                 round(list_sum([pow(x, 2) for x in
+                   list_transform(
+                     list_zip(e.v[b.j * {d} + 1 : (b.j + 1) * {d}],
+                              b.cent),
+                     p -> p[1] - p[2])]), 6) AS dist
+          FROM e, books b
+        ), codes AS (
+          SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY dist ASC, c ASC) AS rn
+            FROM dists
+          ) WHERE rn = 1
+        ), qt AS (
+          SELECT vec_id AS query_id, j, c,
+                 CAST(round(dist * 1000000) AS BIGINT) AS micros
+          FROM dists WHERE vec_id < {n_queries}
+        ), scored AS (
+          SELECT qt.query_id, cd.vec_id,
+                 CAST(SUM(qt.micros) AS BIGINT) AS approx_dist_micros
+          FROM codes cd
+          JOIN qt ON qt.j = cd.j AND qt.c = cd.code
+          WHERE cd.vec_id <> qt.query_id
+          GROUP BY qt.query_id, cd.vec_id
+        ), ranked AS (
+          SELECT query_id, vec_id, approx_dist_micros,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY approx_dist_micros ASC, vec_id ASC
+                 ) AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, approx_dist_micros, rank
+        FROM ranked WHERE rank <= {k}
+    """

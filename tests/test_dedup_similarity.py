@@ -479,3 +479,43 @@ class TestAsymmetricJoin:
         assert exact, "fixture must contain cross-side near pairs"
         assert got <= exact
         assert len(got) / len(exact) >= 0.6  # 4-bit + multiprobe
+
+
+@pytest.mark.slow
+class TestPQ:
+    def test_codes_shape_and_determinism(self, emb):
+        books = S.pq_train_codebooks(emb, m=8, k=16, dim=32)
+        assert len(books) == 8 and len(books[0]) == 16
+        assert len(books[0][0]) == 4  # dim/m
+        coded = S.pq_encode(emb, books).toPandas()
+        assert len(coded) == emb.count()
+        assert coded.codes.map(len).eq(8).all()
+        assert coded.codes.map(lambda cs: all(1 <= c <= 16
+                                              for c in cs)).all()
+        again = S.pq_encode(emb.repartition(5), books).toPandas()
+        a = coded.sort_values("vec_id").reset_index(drop=True)
+        b = again.sort_values("vec_id").reset_index(drop=True)
+        assert (a.codes.map(tuple) == b.codes.map(tuple)).all()
+
+    def test_adc_recall_vs_brute_force(self, emb):
+        """PQ approximation must keep most true neighbors: clustered
+        fixture, m=8 sub-quantizers of the 32-dim space."""
+        from pyspark.sql import functions as F
+
+        books = S.pq_train_codebooks(emb, m=8, k=16, dim=32)
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        bf = S.brute_force_topk(emb, queries, k=10).toPandas()
+        pq = S.pq_adc_topk(emb, queries, books, k=10).toPandas()
+        recalls = []
+        for q in range(10):
+            t = set(bf[bf.query_id == q].vec_id)
+            g = set(pq[pq.query_id == q].vec_id)
+            recalls.append(len(t & g) / len(t))
+        assert np.mean(recalls) >= 0.5
+        # within each query the approx distances are non-decreasing
+        for q in range(10):
+            d = list(pq[pq.query_id == q].sort_values("rank")
+                     .approx_dist_micros)
+            assert d == sorted(d)
