@@ -356,46 +356,47 @@ def pq_adc_topk(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
     ).collect()
-    per_query = []
+    # the per-query tables travel as DATA in one broadcast table —
+    # one scan of the coded corpus however many queries there are (a
+    # per-query union would re-derive the encode lineage per query)
+    tables = []
     for r in q_rows:
         qv = list(map(float, r.qv))
-        table = [
+        tables.append((
+            int(r.query_id),
             [
-                int(round(
-                    round(
-                        sum(
-                            (qv[j * d_sub + t] - c[t]) ** 2
-                            for t in range(d_sub)
-                        ),
-                        6,
-                    ) * 1_000_000
-                ))
-                for c in book
-            ]
-            for j, book in enumerate(codebooks)
-        ]
-        t_lit = F.array(
-            *[F.array(*[F.lit(x).cast("long") for x in row])
-              for row in table]
-        )
-        score = F.aggregate(
-            F.zip_with(
-                F.col("codes"), t_lit,
-                lambda c, row: F.element_at(row, c),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        per_query.append(
-            coded.filter(F.col("vec_id") != F.lit(r.query_id)).select(
-                F.lit(r.query_id).alias("query_id"),
-                "vec_id",
-                score.alias("approx_dist_micros"),
-            )
-        )
-    scored = per_query[0]
-    for df in per_query[1:]:
-        scored = scored.unionByName(df)
+                [
+                    int(round(
+                        round(
+                            sum(
+                                (qv[j * d_sub + t] - c[t]) ** 2
+                                for t in range(d_sub)
+                            ),
+                            6,
+                        ) * 1_000_000
+                    ))
+                    for c in book
+                ]
+                for j, book in enumerate(codebooks)
+            ],
+        ))
+    spark = embeddings.sparkSession
+    tq = spark.createDataFrame(
+        tables, "query_id long, tbl array<array<bigint>>"
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("tbl"),
+            lambda c, row: F.element_at(row, c),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(tq))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", score.alias("approx_dist_micros"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_dist_micros"), F.asc("vec_id")
     )
