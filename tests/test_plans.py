@@ -117,3 +117,52 @@ class TestPlans:
         # one corpus-side distinct + one per-doc aggregate, each
         # partial+final; a doubled lineage would add more
         assert plan.count("Scan parquet") == 2  # corpus + eval sides
+
+    def test_chunking_is_narrow(self, spark):
+        """chunk_documents claims zero shuffles — assert no Exchange;
+        pack_chunks adds exactly the one shard-window Exchange."""
+        from pdfextraction_spark.functions.chunking import (
+            chunk_documents,
+            pack_chunks,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        chunks = chunk_documents(docs, chunk_tokens=8, stride=6)
+        assert _plan(chunks).count("Exchange") == 0
+        packed = pack_chunks(chunks, capacity=32, n_shards=4)
+        assert _plan(packed).count("Exchange") == 1
+
+    def test_pq_encode_is_narrow_and_pruned(self, spark):
+        """PQ encoding is a pure projection pipeline: no Exchange, and
+        the scan reads only (vec_id, embedding)."""
+        from pdfextraction_spark.functions.similarity import (
+            pq_encode,
+            pq_train_codebooks,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        books = pq_train_codebooks(emb, m=8, k=8, dim=64)
+        plan = _plan(pq_encode(emb, books))
+        assert plan.count("Exchange") == 0
+        # '*(n) ' prefixes mark whole-stage-codegen spans in toString
+        assert plan.lstrip().startswith("*(")
+
+    def test_adc_broadcasts_query_tables(self, spark):
+        """ADC search joins the per-query tables by broadcast — the
+        coded corpus never shuffles for scoring (only the final top-k
+        window exchanges by query_id)."""
+        from pyspark.sql import functions as SF
+
+        from pdfextraction_spark.functions.similarity import (
+            pq_adc_topk,
+            pq_train_codebooks,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        books = pq_train_codebooks(emb, m=8, k=8, dim=64)
+        queries = emb.filter(SF.col("vec_id") < 3).select(
+            SF.col("vec_id").alias("query_id"), "embedding"
+        )
+        plan = _plan(pq_adc_topk(emb, queries, books, k=5))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
