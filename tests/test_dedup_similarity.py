@@ -519,3 +519,37 @@ class TestPQ:
             d = list(pq[pq.query_id == q].sort_values("rank")
                      .approx_dist_micros)
             assert d == sorted(d)
+
+    def test_ivf_pq_composition(self, emb):
+        """IVF-PQ end to end: IVF probing shrinks the candidate set,
+        ADC ranks the survivors by codes — composed from the two
+        oracle-green halves; recall stays useful while candidates
+        drop well below the corpus."""
+        from pyspark.sql import functions as F
+
+        books = S.pq_train_codebooks(emb, m=8, k=16, dim=32)
+        cents = S.train_ivf_centroids(emb, n_centroids=16,
+                                      lloyd_iters=0)
+        assigned = S._staged_assign(
+            emb.select("vec_id", "embedding"), "embedding", cents,
+            keep=("vec_id",),
+        ).select("vec_id", "list_id")
+        corpus = emb.join(assigned, "vec_id")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        bf = S.brute_force_topk(emb, queries, k=10).toPandas()
+        q_assigned = {
+            r.vec_id: r.list_id for r in assigned.filter(
+                F.col("vec_id") < 5).collect()
+        }
+        recalls, cand_counts = [], []
+        for qid, lid in q_assigned.items():
+            cand = corpus.filter(F.col("list_id") == lid)
+            cand_counts.append(cand.count())
+            q1 = queries.filter(F.col("query_id") == qid)
+            pq = S.pq_adc_topk(cand, q1, books, k=10).toPandas()
+            t = set(bf[bf.query_id == qid].vec_id)
+            recalls.append(len(t & set(pq.vec_id)) / len(t))
+        assert max(cand_counts) < emb.count() / 2
+        assert sum(recalls) / len(recalls) >= 0.5
