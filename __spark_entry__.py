@@ -885,33 +885,19 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     group, min id wins — portable analogue of the xxhash64 production
     key), (3) repetition gate on the top-2-gram char share, (4)
     language-balanced quota sample of the survivors. Output is the
-    selected training subset with its per-language rank."""
-    from pdfextraction_spark.functions import text as X
-    from pdfextraction_spark.functions.repetition import (
-        ngram_repetition_stats,
-    )
-    from pdfextraction_spark.functions.sampling import quota_sample
+    selected training subset with its per-language rank.
+
+    Implementation shared with `cli curate`
+    (functions/curation.curation_funnel — single home for the oracle
+    contract). 0.12 = fixture q90 of the survivor top2 distribution
+    (the gate must actually remove docs to be oracle-exercised);
+    Gopher's published top-2-gram threshold is 0.20 on web text."""
+    from pdfextraction_spark.functions.curation import curation_funnel
 
     docs = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    gated = docs.filter(
-        (F.round(X.quality_score(t), 4) >= 0.5) & X.is_english(t)
-    )
-    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
-    canon = (
-        gated.select("doc_id", F.md5(F.encode(norm, "UTF-8")).alias("fp"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    survivors = gated.join(canon, "doc_id", "semi")
-    # 0.12 = fixture q90 of the survivor distribution (the gate must
-    # actually remove docs to be oracle-exercised); Gopher's published
-    # top-2-gram threshold is 0.20 on web text
-    calm = ngram_repetition_stats(survivors, top_ns=(2,), dup_ns=()) \
-        .filter(F.col("top2_frac") <= 0.12).select("doc_id")
-    final = survivors.join(calm, "doc_id", "semi")
-    return quota_sample(final, k=10, stratum_col="lang").select(
+    return curation_funnel(
+        docs, min_quality=0.5, max_top2_frac=0.12, per_lang=10
+    ).select(
         "doc_id", "lang",
         F.col("sample_rank").cast("long").alias("sample_rank"),
     )

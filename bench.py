@@ -134,6 +134,24 @@ def ensure_parallel_sf(sf_dir: str, n_files: int = 32) -> str:
     return path
 
 
+def _write_parts(df, path: str, table_name: str, n_files: int) -> None:
+    """Atomically write df as path/<table_name>/part-*.parquet with
+    n_files splits (tmp dir + os.replace so a crashed run never leaves
+    a half-written fixture that later runs mistake for complete)."""
+    tmp = path + ".tmp"
+    out_dir = os.path.join(tmp, table_name)
+    os.makedirs(out_dir, exist_ok=True)
+    step = (len(df) + n_files - 1) // n_files
+    for i in range(n_files):
+        part = df.iloc[i * step:(i + 1) * step]
+        if len(part):
+            part.to_parquet(
+                os.path.join(out_dir, f"part-{i:05d}.parquet"),
+                index=False,
+            )
+    os.replace(tmp, path)
+
+
 def ensure_growth_docs(n_docs: int, n_files: int = 32,
                        seed: int = 7) -> str:
     """Deterministic documents-shaped growth fixture (VERDICT r2 item
@@ -179,18 +197,7 @@ def ensure_growth_docs(n_docs: int, n_files: int = 32,
         "source": [f"src{i % 20}" for i in range(n_docs)],
     })
     df["n_chars"] = df.text.str.len().astype("int64")
-    tmp = path + ".tmp"
-    out_dir = os.path.join(tmp, "documents.parquet")
-    os.makedirs(out_dir, exist_ok=True)
-    step = (len(df) + n_files - 1) // n_files
-    for i in range(n_files):
-        part = df.iloc[i * step:(i + 1) * step]
-        if len(part):
-            part.to_parquet(
-                os.path.join(out_dir, f"part-{i:05d}.parquet"),
-                index=False,
-            )
-    os.replace(tmp, path)
+    _write_parts(df, path, "documents.parquet", n_files)
     return path
 
 
@@ -217,18 +224,7 @@ def ensure_growth_embeddings(n_vecs: int, dim: int = 64,
         "vec_id": np.arange(n_vecs, dtype=np.int64),
         "embedding": [row.astype(np.float32) for row in vecs],
     })
-    tmp = path + ".tmp"
-    out_dir = os.path.join(tmp, "embeddings.parquet")
-    os.makedirs(out_dir, exist_ok=True)
-    step = (len(df) + n_files - 1) // n_files
-    for i in range(n_files):
-        part = df.iloc[i * step:(i + 1) * step]
-        if len(part):
-            part.to_parquet(
-                os.path.join(out_dir, f"part-{i:05d}.parquet"),
-                index=False,
-            )
-    os.replace(tmp, path)
+    _write_parts(df, path, "embeddings.parquet", n_files)
     return path
 
 
@@ -592,15 +588,20 @@ def _sf_growth_md_lines() -> list:
         "| query | input rows | wall lo->hi (s) | exponent |",
         "| --- | --- | --- | --- |",
     ]
-    for q, r in g["queries"].items():
-        name = q
-        if "bits" in r:
-            name += f" (bits {r['bits'][0]}->{r['bits'][1]})"
-        lines.append(
-            f"| {name} | {r['rows'][0]}->{r['rows'][1]} "
-            f"| {r['wall_sec'][0]:.2f}->{r['wall_sec'][1]:.2f} "
-            f"| {r['exponent']:.2f} |"
-        )
+    def _rows(entries: dict) -> list:
+        out = []
+        for q, r in entries.items():
+            name = q
+            if "bits" in r:
+                name += f" (bits {r['bits'][0]}->{r['bits'][1]})"
+            out.append(
+                f"| {name} | {r['rows'][0]}->{r['rows'][1]} "
+                f"| {r['wall_sec'][0]:.2f}->{r['wall_sec'][1]:.2f} "
+                f"| {r['exponent']:.2f} |"
+            )
+        return out
+
+    lines += _rows(g["queries"])
     lines += [
         "",
         "cosine_near_pairs_blocked at FIXED bits grows superlinearly by",
@@ -623,22 +624,17 @@ def _sf_growth_md_lines() -> list:
             "(bench.ensure_growth_docs / ensure_growth_embeddings: 10k-",
             "word zipf vocab, lognormal lengths, 3% planted near-dups,",
             "~20-vector embedding clusters so true pair counts stay",
-            "linear) are large enough that compute dominates; embedding",
-            "rows run the bits DIAL per tier. The dial row's e ~ 1.2 is",
-            "the documented O(n log n): probe count tracks bits ~ log n.",
+            "linear) are large enough that compute dominates. The",
+            "cosine rows run the bits DIAL per tier; its e ~ 1.2 is the",
+            "documented O(n log n) (probe count tracks bits ~ log n).",
+            "ann_lsh_topk runs fixed production bits at both tiers —",
+            "its near-zero exponent shows the broadcast query side, not",
+            "corpus size, dominates its cost at these sizes.",
             "",
             "| query | input rows | wall lo->hi (s) | exponent |",
             "| --- | --- | --- | --- |",
         ]
-        for q, r in g["growth_fixture"].items():
-            name = q
-            if "bits" in r:
-                name += f" (bits {r['bits'][0]}->{r['bits'][1]})"
-            lines.append(
-                f"| {name} | {r['rows'][0]}->{r['rows'][1]} "
-                f"| {r['wall_sec'][0]:.2f}->{r['wall_sec'][1]:.2f} "
-                f"| {r['exponent']:.2f} |"
-            )
+        lines += _rows(g["growth_fixture"])
     return lines
 
 

@@ -75,50 +75,39 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     repetition gate -> per-language quota sample; writes the selected
     subset (doc_id, lang, sample_rank + original columns) and prints
     per-stage counts as JSON."""
-    from pyspark.sql import functions as F
-
-    from .functions import text as X
-    from .functions.repetition import ngram_repetition_stats
+    from .functions.curation import curation_funnel_stages
     from .functions.sampling import quota_sample
     from .session import build_session
 
     spark = build_session("pdfx-curate", master=args.master)
     try:
         docs = spark.read.parquet(args.input)
-        t = F.col("text")
-        gated = docs.filter(
-            (F.round(X.quality_score(t), 4) >= args.min_quality)
-            & X.is_english(t)
+        stages = curation_funnel_stages(
+            docs, min_quality=args.min_quality,
+            max_top2_frac=args.max_top2_frac,
         )
-        norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
-        canon = (
-            gated.select(
-                "doc_id", F.md5(F.encode(norm, "UTF-8")).alias("fp")
+        # persist the reused stages: every later stage and every count
+        # below would otherwise re-run the full funnel lineage from
+        # the scan (~5 corpus passes instead of one)
+        for df in stages.values():
+            df.persist()
+        try:
+            selected = quota_sample(
+                stages["final"], k=args.per_lang, stratum_col="lang"
             )
-            .groupBy("fp")
-            .agg(F.min("doc_id").alias("doc_id"))
-            .select("doc_id")
-        )
-        survivors = gated.join(canon, "doc_id", "semi")
-        calm = (
-            ngram_repetition_stats(survivors, top_ns=(2,), dup_ns=())
-            .filter(F.col("top2_frac") <= args.max_top2_frac)
-            .select("doc_id")
-        )
-        final = survivors.join(calm, "doc_id", "semi")
-        selected = quota_sample(
-            final, k=args.per_lang, stratum_col="lang"
-        )
-        selected.write.mode(args.mode).parquet(args.output)
-        out = spark.read.parquet(args.output)
-        print(json.dumps({
-            "input_docs": docs.count(),
-            "after_quality_lang": gated.count(),
-            "after_exact_dedup": survivors.count(),
-            "after_repetition_gate": final.count(),
-            "selected": out.count(),
-            "output": args.output,
-        }))
+            selected.write.mode(args.mode).parquet(args.output)
+            out = spark.read.parquet(args.output)
+            print(json.dumps({
+                "input_docs": docs.count(),
+                "after_quality_lang": stages["gated"].count(),
+                "after_exact_dedup": stages["survivors"].count(),
+                "after_repetition_gate": stages["final"].count(),
+                "selected": out.count(),
+                "output": args.output,
+            }))
+        finally:
+            for df in stages.values():
+                df.unpersist()
         return 0
     finally:
         spark.stop()

@@ -260,16 +260,7 @@ def pq_train_codebooks(
     Production refinement would run per-subspace Lloyd exactly like
     the IVF path; the seed codebooks are the oracle-exact config."""
     d_sub = dim // m
-    total = embeddings.count()
-    step = max(total // k, 1)
-    rows = (
-        embeddings.filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
-        .orderBy(id_col)
-        .limit(k)
-        .select(vec_col)
-        .collect()
-    )
-    seeds = [list(map(float, r[0])) for r in rows]
+    seeds = _strided_seed_vectors(embeddings, k, id_col, vec_col)
     return [
         [seed[j * d_sub:(j + 1) * d_sub] for seed in seeds]
         for j in range(m)
@@ -620,20 +611,29 @@ def train_ivf_centroids(
     one Spark aggregation (posexplode -> per-(list, dim) mean) whose
     collect is bounded at n_centroids x dim rows — vectors never leave
     the cluster. Returned codebook feeds ivf_topk(centroids=...)."""
-    total = embeddings.count()
-    step = max(total // n_centroids, 1)
-    rows = (
-        embeddings.filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .select(vec_col)
-        .collect()
-    )
-    centroids = [list(map(float, r[0])) for r in rows]
+    centroids = _strided_seed_vectors(embeddings, n_centroids, id_col,
+                                      vec_col)
     for _ in range(lloyd_iters):
         centroids = _lloyd_step(embeddings, vec_col, centroids,
                                 vectorized=vectorized)
     return centroids
+
+
+def _strided_seed_vectors(embeddings: DataFrame, k: int, id_col: str,
+                          vec_col: str) -> List[List[float]]:
+    """THE deterministic seed-sampling discipline (single home — both
+    the IVF and PQ oracles re-derive exactly this in SQL): every
+    (total // k)-th id in id order, first k. Bounded collect."""
+    total = embeddings.count()
+    step = max(total // k, 1)
+    rows = (
+        embeddings.filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
+        .orderBy(id_col)
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    return [list(map(float, r[0])) for r in rows]
 
 
 def ivf_topk(

@@ -55,7 +55,12 @@ def minhash_lsh_pairs_sql(table: str = "documents", n: int = 3,
                           threshold: float = 0.2) -> str:
     """Mirror of minhash_lsh_pairs(portable=True): seeded md5-prefix
     minhash signatures, comma-joined band keys, band equi-join
-    candidates, exact-Jaccard verification."""
+    candidates, exact-Jaccard verification.
+
+    Only the first bands*r hashes are generated: when bands does not
+    divide num_hashes the Spark side's _band_bucket_rows ignores the
+    remainder hashes, and an `i // r` over the full range would
+    fabricate a partial band the Spark plan never builds."""
     r = num_hashes // bands
     return f"""
         WITH {_shingle_cte(table, n)},
@@ -66,7 +71,7 @@ def minhash_lsh_pairs_sql(table: str = "documents", n: int = 3,
             SELECT doc_id, i,
                    MIN(substring(md5(i || ':' || s), 1, 16)) AS mh
             FROM sh,
-              LATERAL (SELECT unnest(generate_series(0, {num_hashes - 1})) AS i)
+              LATERAL (SELECT unnest(generate_series(0, {bands * r - 1})) AS i)
             GROUP BY doc_id, i
           ) mh
           GROUP BY doc_id, band
@@ -662,7 +667,7 @@ def minhash_lsh_join_sql(left_mod: int = 7, table: str = "documents",
             SELECT doc_id, i,
                    MIN(substring(md5(i || ':' || s), 1, 16)) AS mh
             FROM sh,
-              LATERAL (SELECT unnest(generate_series(0, {num_hashes - 1})) AS i)
+              LATERAL (SELECT unnest(generate_series(0, {bands * r - 1})) AS i)
             GROUP BY doc_id, i
           ) mh
           GROUP BY doc_id, band
@@ -723,16 +728,11 @@ def cosine_near_join_sql(left_mod: int = 7, table: str = "embeddings",
     """
 
 
-def pq_encode_sql(table: str = "embeddings", m: int = 8, k: int = 16,
-                  dim: int = 64) -> str:
-    """Mirror of pq_train_codebooks (strided seed subvectors) +
-    pq_encode: per subspace, 1-based argmin of rounded squared L2 to
-    the codebook (first-wins via list_position). Codes exported as a
-    comma-joined string (driver canonicalization needs scalar
-    columns)."""
-    d = dim // m
-    return f"""
-        WITH e AS (
+def _pq_ctes(table: str, m: int, k: int, d: int) -> str:
+    """Shared PQ CTE chain ending in codes(vec_id, j, code) plus the
+    intermediate dists — one home for the codebook-derivation SQL so
+    the encode and ADC oracles can never desynchronize."""
+    return f"""e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
         ), st AS (
           SELECT greatest(COUNT(*) // {k}, 1) AS step FROM e
@@ -741,7 +741,6 @@ def pq_encode_sql(table: str = "embeddings", m: int = 8, k: int = 16,
           WHERE e.vec_id % st.step = 0
           ORDER BY e.vec_id LIMIT {k}
         ), books AS (
-          -- codebook (j, c, centroid subvector): subspace j of seed c
           SELECT j.j,
                  row_number() OVER (PARTITION BY j.j
                                     ORDER BY seed.vec_id) AS c,
@@ -762,7 +761,18 @@ def pq_encode_sql(table: str = "embeddings", m: int = 8, k: int = 16,
                                       ORDER BY dist ASC, c ASC) AS rn
             FROM dists
           ) WHERE rn = 1
-        )
+        )"""
+
+
+def pq_encode_sql(table: str = "embeddings", m: int = 8, k: int = 16,
+                  dim: int = 64) -> str:
+    """Mirror of pq_train_codebooks (strided seed subvectors) +
+    pq_encode: per subspace, 1-based argmin of rounded squared L2 to
+    the codebook (first-wins). Codes exported as a comma-joined
+    string (driver canonicalization needs scalar columns)."""
+    d = dim // m
+    return f"""
+        WITH {_pq_ctes(table, m, k, d)}
         SELECT vec_id,
                string_agg(CAST(code AS VARCHAR), ',' ORDER BY j)
                  AS codes
@@ -774,41 +784,13 @@ def pq_adc_topk_sql(table: str = "embeddings", m: int = 8, k_cent: int = 16,
                     dim: int = 64, k: int = 10,
                     n_queries: int = 5) -> str:
     """Mirror of pq_adc_topk: same seed codebooks + codes as
-    pq_encode_sql, per-query exact sub-distance tables in integer
-    micro-units (order-free BIGINT sums — an 8-term double sum's
-    addition order is engine-dependent), rank by (micros, vec_id)."""
+    pq_encode_sql (shared _pq_ctes), per-query exact sub-distance
+    tables in integer micro-units (order-free BIGINT sums — an 8-term
+    double sum's addition order is engine-dependent), rank by
+    (micros, vec_id)."""
     d = dim // m
     return f"""
-        WITH e AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
-        ), st AS (
-          SELECT greatest(COUNT(*) // {k_cent}, 1) AS step FROM e
-        ), seed AS (
-          SELECT e.vec_id, e.v FROM e, st
-          WHERE e.vec_id % st.step = 0
-          ORDER BY e.vec_id LIMIT {k_cent}
-        ), books AS (
-          SELECT j.j,
-                 row_number() OVER (PARTITION BY j.j
-                                    ORDER BY seed.vec_id) AS c,
-                 v[j.j * {d} + 1 : (j.j + 1) * {d}] AS cent
-          FROM seed, (SELECT unnest(generate_series(0, {m - 1})) AS j) j
-        ), dists AS (
-          SELECT e.vec_id, b.j, b.c,
-                 round(list_sum([pow(x, 2) for x in
-                   list_transform(
-                     list_zip(e.v[b.j * {d} + 1 : (b.j + 1) * {d}],
-                              b.cent),
-                     p -> p[1] - p[2])]), 6) AS dist
-          FROM e, books b
-        ), codes AS (
-          SELECT vec_id, j, c AS code FROM (
-            SELECT vec_id, j, c,
-                   row_number() OVER (PARTITION BY vec_id, j
-                                      ORDER BY dist ASC, c ASC) AS rn
-            FROM dists
-          ) WHERE rn = 1
-        ), qt AS (
+        WITH {_pq_ctes(table, m, k_cent, d)}, qt AS (
           SELECT vec_id AS query_id, j, c,
                  CAST(round(dist * 1000000) AS BIGINT) AS micros
           FROM dists WHERE vec_id < {n_queries}
