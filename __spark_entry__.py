@@ -771,6 +771,22 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster canonicalization: one representative per
+    near-dup cluster, chosen as the LONGEST copy (n_chars; longest =
+    least truncated — the common keep-best heuristic; any score column
+    works, e.g. quality_score) with ties to the smallest id."""
+    from pdfextraction_spark.functions.dedup import ngram_jaccard_pairs
+    from pdfextraction_spark.operators.graph import (
+        cluster_representatives,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2).select(
+        "id_a", "id_b")
+    return cluster_representatives(docs, pairs, score_col="n_chars")
+
+
 def q_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: near-dup join of a 'new batch' (doc_id % 7
     == 0) against the 'existing corpus' (the rest) — cross-side pairs
@@ -977,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_hits": q_contamination,
         "corpus_token_stats": q_corpus_token_stats,
         "quota_sample": q_quota_sample,
+        "cluster_representatives": q_cluster_reps,
         "ngram_jaccard_join": q_ngram_jaccard_join,
         "minhash_lsh_join": q_minhash_lsh_join,
         "cosine_near_join": q_cosine_near_join,
@@ -1267,6 +1284,8 @@ def _portable_oracle_sql() -> dict[str, str]:
         "contamination_hits": P.contamination_hits_sql(n=3, eval_mod=41),
         "corpus_token_stats": P.corpus_token_stats_sql(rare_df_max=385),
         "quota_sample": P.quota_sample_sql(k=5, stratum_col="lang"),
+        "cluster_representatives": P.cluster_representatives_sql(
+            threshold=0.2, score_col="n_chars"),
         "ngram_jaccard_join": P.ngram_jaccard_join_sql(left_mod=7,
                                                        threshold=0.2),
         "minhash_lsh_join": P.minhash_lsh_join_sql(left_mod=7,

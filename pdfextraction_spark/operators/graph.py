@@ -110,3 +110,50 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame,
             (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
         )
     )
+
+
+def cluster_representatives(df: DataFrame, pairs: DataFrame,
+                            score_col: str = "score",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Quality-aware canonicalization: ONE representative per near-dup
+    cluster, chosen by highest score (ties -> smallest id) instead of
+    dedup_clusters' min-id rule — near-dup copies differ in OCR noise,
+    truncation, or boilerplate, and a curation pipeline wants to keep
+    the BEST copy, not an arbitrary one.
+
+    ``df`` must carry ``score_col`` (e.g. text.quality_score rounded
+    upstream). Output: (doc_id, cluster_id, cluster_size, score,
+    is_representative) for every doc — filter is_representative for
+    the kept corpus. One extra shuffle over dedup_clusters (the
+    per-cluster arg-max, map-side combined)."""
+    comp = connected_components(
+        df.select(id_col), pairs, id_col=id_col
+    ).select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    )
+    scored = comp.join(df.select(id_col, score_col), id_col)
+    # arg-max by (score, -id): max struct comparison gives highest
+    # score, then SMALLEST id on ties (negated id maximized)
+    best = scored.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col(id_col)).alias("neg_id"),
+            )
+        ).alias("b"),
+        F.count("*").alias("cluster_size"),
+    ).select(
+        "cluster_id",
+        "cluster_size",
+        (-F.col("b.neg_id")).cast("long").alias("rep_id"),
+    )
+    return (
+        scored.join(best, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "cluster_size",
+            F.col(score_col),
+            (F.col(id_col) == F.col("rep_id")).alias("is_representative"),
+        )
+    )

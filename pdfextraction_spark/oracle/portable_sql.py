@@ -812,3 +812,46 @@ def pq_adc_topk_sql(table: str = "embeddings", m: int = 8, k_cent: int = 16,
         SELECT query_id, vec_id, approx_dist_micros, rank
         FROM ranked WHERE rank <= {k}
     """
+
+
+def cluster_representatives_sql(table: str = "documents", n: int = 3,
+                                threshold: float = 0.2,
+                                score_col: str = "n_chars") -> str:
+    """Mirror of operators/graph.cluster_representatives over the
+    exact Jaccard pair graph, scored by ``score_col`` (highest wins,
+    ties -> smallest id)."""
+    return f"""
+        WITH RECURSIVE cand AS ({_ngram_pairs_sql(table, n, threshold)}
+        ), e AS (
+          SELECT id_a AS a, id_b AS b FROM cand
+          UNION
+          SELECT id_b, id_a FROM cand
+        ), reach(node, r) AS (
+          SELECT doc_id, doc_id FROM {table}
+          UNION
+          SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node
+        ), comp AS (
+          SELECT node AS doc_id, MIN(r) AS cluster_id
+          FROM reach GROUP BY node
+        ), scored AS (
+          SELECT c.doc_id, c.cluster_id, d.{score_col} AS score
+          FROM comp c JOIN {table} d USING (doc_id)
+        ), best AS (
+          SELECT cluster_id, doc_id AS rep_id FROM (
+            SELECT cluster_id, doc_id,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY score DESC, doc_id ASC)
+                     AS rn
+            FROM scored
+          ) WHERE rn = 1
+        ), sizes AS (
+          SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM scored GROUP BY cluster_id
+        )
+        SELECT s.doc_id, s.cluster_id, z.cluster_size,
+               s.score AS {score_col},
+               s.doc_id = b.rep_id AS is_representative
+        FROM scored s
+        JOIN best b USING (cluster_id)
+        JOIN sizes z USING (cluster_id)
+    """

@@ -226,3 +226,31 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, max_iter=2)
+
+
+def test_cluster_representatives_best_copy_wins(spark):
+    """The representative is the highest-score member (ties ->
+    smallest id), not the min id: cluster {1,2,3} keeps 2 (longest),
+    tie-cluster {10,11} keeps 10, singleton 20 keeps itself."""
+    from pdfextraction_spark.operators.graph import (
+        cluster_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 70), (10, 40), (11, 40), (20, 10)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: r
+        for r in cluster_representatives(
+            docs, pairs, score_col="n_chars"
+        ).collect()
+    }
+    assert [out[i].is_representative for i in (1, 2, 3)] == [
+        False, True, False]
+    assert out[2].cluster_id == 1 and out[2].cluster_size == 3
+    assert out[10].is_representative and not out[11].is_representative
+    assert out[20].is_representative and out[20].cluster_size == 1
