@@ -27,7 +27,7 @@ id per node (oracle/portable_sql.py style — exact, engine-portable).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
@@ -87,17 +87,24 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     return labels
 
 
+def _components(df: DataFrame, pairs: DataFrame,
+                id_col: str) -> DataFrame:
+    """(id_col, cluster_id) labeling shared by every clustering
+    operator — one home for the component contract."""
+    return connected_components(
+        df.select(id_col), pairs, id_col=id_col
+    ).select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    )
+
+
 def dedup_clusters(df: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id") -> DataFrame:
     """Cluster assignment for a corpus given its near-dup pairs:
     (doc_id, cluster_id, cluster_size, is_canonical). cluster_id is
     the min doc id of the component; the canonical doc is that
     minimum (the keep-one-drop-rest curation contract)."""
-    comp = connected_components(
-        df.select(id_col), pairs, id_col=id_col
-    ).select(
-        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
-    )
+    comp = _components(df, pairs, id_col)
     sizes = comp.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size")
     )
@@ -124,36 +131,21 @@ def cluster_representatives(df: DataFrame, pairs: DataFrame,
     ``df`` must carry ``score_col`` (e.g. text.quality_score rounded
     upstream). Output: (doc_id, cluster_id, cluster_size, score,
     is_representative) for every doc — filter is_representative for
-    the kept corpus. One extra shuffle over dedup_clusters (the
-    per-cluster arg-max, map-side combined)."""
-    comp = connected_components(
-        df.select(id_col), pairs, id_col=id_col
-    ).select(
-        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
-    )
+    the kept corpus. One shuffle (the cluster-keyed window; the rank
+    and size ride the same partitioning), and no arithmetic on the id
+    — the ordering-based pick works for ANY orderable id type, where
+    a negate-and-maximize trick would break on string or decimal
+    ids."""
+    comp = _components(df, pairs, id_col)
     scored = comp.join(df.select(id_col, score_col), id_col)
-    # arg-max by (score, -id): max struct comparison gives highest
-    # score, then SMALLEST id on ties (negated id maximized)
-    best = scored.groupBy("cluster_id").agg(
-        F.max(
-            F.struct(
-                F.col(score_col).alias("s"),
-                (-F.col(id_col)).alias("neg_id"),
-            )
-        ).alias("b"),
-        F.count("*").alias("cluster_size"),
-    ).select(
-        "cluster_id",
-        "cluster_size",
-        (-F.col("b.neg_id")).cast("long").alias("rep_id"),
+    by_cluster = Window.partitionBy("cluster_id")
+    pick = by_cluster.orderBy(
+        F.desc(score_col), F.asc(id_col)
     )
-    return (
-        scored.join(best, "cluster_id")
-        .select(
-            id_col,
-            "cluster_id",
-            "cluster_size",
-            F.col(score_col),
-            (F.col(id_col) == F.col("rep_id")).alias("is_representative"),
-        )
+    return scored.select(
+        id_col,
+        "cluster_id",
+        F.count("*").over(by_cluster).alias("cluster_size"),
+        F.col(score_col),
+        (F.row_number().over(pick) == 1).alias("is_representative"),
     )

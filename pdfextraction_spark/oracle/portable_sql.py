@@ -190,14 +190,11 @@ def _ngram_pairs_sql(table: str, n: int, threshold: float) -> str:
           ) i"""
 
 
-def dedup_clusters_sql(table: str = "documents", n: int = 3,
-                       threshold: float = 0.2) -> str:
-    """Mirror of operators/graph.dedup_clusters over the exact n-gram
-    Jaccard pair graph: connected components as min-reachable-id via
-    transitive closure (WITH RECURSIVE) — exact, so it checks the
-    Spark label-propagation loop end to end."""
-    return f"""
-        WITH RECURSIVE cand AS ({_ngram_pairs_sql(table, n, threshold)}
+def _components_sql(table: str, n: int, threshold: float) -> str:
+    """Shared recursive transitive-closure chain ending in
+    comp(doc_id, cluster_id) over the exact n-gram Jaccard pair graph
+    — one home for the closure both clustering oracles mirror."""
+    return f"""cand AS ({_ngram_pairs_sql(table, n, threshold)}
         ), e AS (
           SELECT id_a AS a, id_b AS b FROM cand
           UNION
@@ -209,7 +206,17 @@ def dedup_clusters_sql(table: str = "documents", n: int = 3,
         ), comp AS (
           SELECT node AS doc_id, MIN(r) AS cluster_id
           FROM reach GROUP BY node
-        ), sizes AS (
+        )"""
+
+
+def dedup_clusters_sql(table: str = "documents", n: int = 3,
+                       threshold: float = 0.2) -> str:
+    """Mirror of operators/graph.dedup_clusters over the exact n-gram
+    Jaccard pair graph: connected components as min-reachable-id via
+    transitive closure (WITH RECURSIVE) — exact, so it checks the
+    Spark label-propagation loop end to end."""
+    return f"""
+        WITH RECURSIVE {_components_sql(table, n, threshold)}, sizes AS (
           SELECT cluster_id, COUNT(*) AS cluster_size
           FROM comp GROUP BY cluster_id
         )
@@ -818,22 +825,10 @@ def cluster_representatives_sql(table: str = "documents", n: int = 3,
                                 threshold: float = 0.2,
                                 score_col: str = "n_chars") -> str:
     """Mirror of operators/graph.cluster_representatives over the
-    exact Jaccard pair graph, scored by ``score_col`` (highest wins,
-    ties -> smallest id)."""
+    exact Jaccard pair graph (shared _components_sql closure), scored
+    by ``score_col`` (highest wins, ties -> smallest id)."""
     return f"""
-        WITH RECURSIVE cand AS ({_ngram_pairs_sql(table, n, threshold)}
-        ), e AS (
-          SELECT id_a AS a, id_b AS b FROM cand
-          UNION
-          SELECT id_b, id_a FROM cand
-        ), reach(node, r) AS (
-          SELECT doc_id, doc_id FROM {table}
-          UNION
-          SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node
-        ), comp AS (
-          SELECT node AS doc_id, MIN(r) AS cluster_id
-          FROM reach GROUP BY node
-        ), scored AS (
+        WITH RECURSIVE {_components_sql(table, n, threshold)}, scored AS (
           SELECT c.doc_id, c.cluster_id, d.{score_col} AS score
           FROM comp c JOIN {table} d USING (doc_id)
         ), best AS (
