@@ -868,6 +868,31 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, queries, books, k=10)
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition — the search stack a 10^9-vector corpus
+    actually runs: IVF probing restricts candidates to n_probe
+    inverted lists, ADC over PQ codes ranks them in O(m) integer
+    lookups per candidate. Oracle config: lloyd_iters=0 seeds for
+    both quantizers (n_centroids == k so coarse centroids and the
+    codebook seed sample coincide — mirrored by the shared `seed`
+    CTE in the SQL); production runs trained codebooks + the
+    vectorized paths (recall pinned in pytest)."""
+    from pdfextraction_spark.functions.similarity import (
+        ivfpq_topk,
+        pq_train_codebooks,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, m=8, k=16, dim=64)
+    cents = train_ivf_centroids(emb, n_centroids=16, lloyd_iters=0)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(emb, queries, books, centroids=cents, k=10,
+                      n_probe=4, vectorized=False)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence chunking: 32-token windows, stride 24 (sized
     to the fixture's ~54-token docs so multi-chunk docs are common;
@@ -999,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_join": q_cosine_near_join,
         "pq_encode": q_pq_encode,
         "pq_adc_topk": q_pq_adc_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq,
         "chunk_documents": q_chunk_documents,
         "pack_chunks": q_pack_chunks,
         "curation_funnel": q_curation_funnel,
@@ -1296,6 +1322,9 @@ def _portable_oracle_sql() -> dict[str, str]:
         "pq_encode": P.pq_encode_sql(m=8, k=16, dim=64),
         "pq_adc_topk": P.pq_adc_topk_sql(m=8, k_cent=16, dim=64,
                                          k=10, n_queries=5),
+        "ann_ivfpq_topk": P.ann_ivfpq_topk_sql(m=8, k_cent=16, dim=64,
+                                               n_probe=4, k=10,
+                                               n_queries=5),
         "chunk_documents": P.chunk_documents_sql(chunk_tokens=32,
                                                  stride=24),
         "pack_chunks": P.pack_chunks_sql(chunk_tokens=32, stride=24,

@@ -252,37 +252,51 @@ def pq_train_codebooks(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 0,
+    vectorized: bool = False,
 ) -> List[List[List[float]]]:
     """Deterministic PQ codebooks: the strided seed sample's
     subvectors (same seeding discipline as train_ivf_centroids —
     reproducible in SQL, so the driver oracle can re-derive the exact
-    codebooks). Returns m codebooks of k centroids of dim/m floats.
-    Production refinement would run per-subspace Lloyd exactly like
-    the IVF path; the seed codebooks are the oracle-exact config."""
+    codebooks), optionally refined by ``lloyd_iters`` per-subspace
+    distributed Lloyd iterations (the PRODUCTION config — trained
+    codebooks materially shrink quantization error; the recall and
+    MSE improvements over seeds are pinned in tests). All m subspaces
+    train in ONE Spark job per iteration: assign codes, explode the
+    (subspace, code, subvector) triples once, per-(j, code, dim)
+    mean; the collect is bounded at m x k x (dim/m) = k x dim rows.
+    ``lloyd_iters=0`` is the oracle-exact seed config the driver
+    checks. Returns m codebooks of k centroids of dim/m floats."""
     d_sub = dim // m
     seeds = _strided_seed_vectors(embeddings, k, id_col, vec_col)
-    return [
+    books = [
         [seed[j * d_sub:(j + 1) * d_sub] for seed in seeds]
         for j in range(m)
     ]
+    for _ in range(lloyd_iters):
+        books = _pq_lloyd_step(embeddings, vec_col, books,
+                               vectorized=vectorized)
+    return books
 
 
-def pq_encode(
+def _pq_staged_codes(
     embeddings: DataFrame,
     codebooks: List[List[List[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: Sequence[str] = (),
 ) -> DataFrame:
-    """(vec_id, codes array<int>): per subspace, the 1-based index of
-    the nearest codebook centroid by squared L2, rounded to 6dp with
-    first-wins ties — reproducible across engines. The cast vector and
-    every per-subspace distance array are staged projection columns
-    (the interpreted-HOF staging rule)."""
+    """Expression-path PQ assignment, fully staged: returns (vec_id,
+    v, __sub0.., c0..) where c{j} is the 1-based index of the nearest
+    codebook-j centroid by squared L2 rounded to 6dp, first-wins ties
+    — reproducible across engines. The cast vector and every
+    per-subspace distance array are staged projection columns (the
+    interpreted-HOF staging rule)."""
     m = len(codebooks)
-    k = len(codebooks[0])
     d_sub = len(codebooks[0][0])
     staged = embeddings.select(
         F.col(id_col).alias("vec_id"),
+        *keep,
         _as_double(F.col(vec_col)).alias("v"),
     )
     for j, book in enumerate(codebooks):
@@ -309,11 +323,148 @@ def pq_encode(
         .alias(f"c{j}")
         for j in range(m)
     ]
-    coded = staged.select("vec_id", *code_cols)
-    return coded.select(
-        "vec_id",
+    return staged.select(
+        "vec_id", *keep, "v",
+        *[F.col(f"__sub{j}") for j in range(m)], *code_cols
+    )
+
+
+def np_pq_encode_udf(codebooks: List[List[List[float]]]):
+    """Vectorized (Arrow-batch numpy) PQ encoder — the PRODUCTION
+    path. The expression form embeds m x k literal centroid arrays in
+    the plan; at production k=256 that is the same planning-cost wall
+    the IVF expression path hits near ~1k centroids. Here the
+    codebooks live in the UDF closure and a whole Arrow batch is
+    scored with one vectorized squared-difference reduction per
+    subspace — no giant plan, arbitrary k.
+
+    Tie/rounding policy matches the expression path: squared L2
+    rounded to 6dp, argmin first-wins (np.argmin = first occurrence;
+    np.round is half-to-even vs Spark's half-up — they differ only
+    for a distance landing exactly on a 5e-7 boundary, pinned absent
+    on the fixture by the equality test)."""
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, k, d_sub)
+    m, _, d_sub = B.shape
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(x, dtype=np.float64) for x in v],
+                     dtype=np.float64)
+        if M.size == 0:
+            return pd.Series([], dtype=object)
+        codes = np.empty((M.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            sub = M[:, j * d_sub:(j + 1) * d_sub]
+            # (rows, k, d_sub) diff tensor — same terms the expression
+            # path sums, so the 6dp-rounded argmin agrees
+            diff = sub[:, None, :] - B[j][None, :, :]
+            d = np.round(np.einsum("rkd,rkd->rk", diff, diff), 6)
+            codes[:, j] = np.argmin(d, axis=1) + 1
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: List[List[List[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: bool = False,
+    keep: Sequence[str] = (),
+) -> DataFrame:
+    """(vec_id, keep..., codes array<int>): per subspace, the 1-based
+    index of the nearest codebook centroid by squared L2, rounded to
+    6dp with first-wins ties — reproducible across engines. ``keep``
+    columns ride along (so a composed pipeline like IVF-PQ carries
+    list_id through the encode instead of re-joining the corpus).
+
+    ``vectorized=True`` (production): Arrow-batch numpy assignment
+    (np_pq_encode_udf) instead of literal-array column expressions —
+    same codes (equality pinned in tests), but the plan stays small
+    so k can grow to the PQ-standard 256. The oracle-exact expression
+    form remains the default for the driver query."""
+    m = len(codebooks)
+    if vectorized:
+        return embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            *keep,
+            np_pq_encode_udf(codebooks)(_as_double(F.col(vec_col)))
+            .alias("codes"),
+        )
+    staged = _pq_staged_codes(embeddings, codebooks, id_col, vec_col,
+                              keep=keep)
+    return staged.select(
+        "vec_id", *keep,
         F.array(*[F.col(f"c{j}") for j in range(m)]).alias("codes"),
     )
+
+
+def _pq_lloyd_step(
+    embeddings: DataFrame,
+    vec_col: str,
+    codebooks: List[List[List[float]]],
+    vectorized: bool = False,
+) -> List[List[List[float]]]:
+    """One distributed per-subspace Lloyd iteration for ALL m
+    subspaces in a single Spark job: assign every subvector to its
+    nearest code, recompute each (subspace, code) centroid as the
+    per-dimension mean of its members. The shuffle moves (j, code,
+    pos, partial mean) — never vectors; the collect is bounded at
+    m x k x d_sub = k x dim rows. Empty cells keep their previous
+    centroid (same policy as the IVF _lloyd_step).
+
+    Explode discipline: the assignment columns and subvector slices
+    are staged projections BEFORE the explode select, so the Generate
+    cannot lift the scoring above itself and re-run it per element
+    (the generate-lift trap documented on _staged_assign)."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+    if vectorized:
+        staged = embeddings.select(
+            _as_double(F.col(vec_col)).alias("v")
+        ).withColumn(
+            "__codes", np_pq_encode_udf(codebooks)(F.col("v"))
+        )
+        for j in range(m):
+            staged = staged.withColumn(
+                f"__sub{j}", F.slice(F.col("v"), j * d_sub + 1, d_sub)
+            ).withColumn(f"c{j}", F.element_at("__codes", j + 1))
+    else:
+        # the Lloyd step needs no real id — a constant satisfies the
+        # staged-codes projection and is pruned by the explode select
+        staged = _pq_staged_codes(
+            embeddings.withColumn("__pq_id", F.lit(0)), codebooks,
+            id_col="__pq_id", vec_col=vec_col,
+        )
+    entries = F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            F.col(f"c{j}").alias("code"),
+            F.col(f"__sub{j}").alias("sub"),
+        )
+        for j in range(m)
+    ])
+    ex = (
+        staged.withColumn("__e", entries)
+        .select(F.explode("__e").alias("e"))
+        .select("e.j", "e.code", F.posexplode("e.sub").alias("pos", "val"))
+    )
+    means = (
+        ex.groupBy("j", "code", "pos")
+        .agg(F.avg("val").alias("mu"))
+        .collect()
+    )
+    new = [[list(c) for c in book] for book in codebooks]
+    got: dict = {}
+    for r in means:
+        got.setdefault((r.j, r.code), [0.0] * d_sub)[r.pos] = r.mu
+    for (j, code), vec in got.items():
+        new[j][code - 1] = vec  # code is 1-based (array_position)
+    return new
 
 
 def pq_adc_topk(
@@ -324,6 +475,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    vectorized: bool = False,
 ) -> DataFrame:
     """PQ search by asymmetric distance: corpus vectors are REDUCED TO
     CODES (pq_encode — at store scale only the codes are persisted);
@@ -341,15 +493,42 @@ def pq_adc_topk(
     the same exact-arithmetic stance as the repetition fractions.
     Recall vs exact brute force is pinned in pytest (approximation
     error is the quantization error; raise m/k to shrink it)."""
+    coded = pq_encode(embeddings, codebooks, id_col, vec_col,
+                      vectorized=vectorized)
+    tq = _adc_query_tables(queries, codebooks, query_id_col, vec_col)
+    scored = (
+        coded.crossJoin(F.broadcast(tq))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id",
+                _adc_score().alias("approx_dist_micros"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist_micros"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _adc_query_tables(
+    queries: DataFrame,
+    codebooks: List[List[List[float]]],
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, tbl array<array<bigint>>): each query's exact m x k
+    sub-distance table in integer micro-units. The per-query tables
+    travel as DATA in one broadcast table — one scan of the coded
+    corpus however many queries there are (a per-query union would
+    re-derive the encode lineage per query). Queries are collected
+    driver-side (the query set is bounded, same stance as the IVF
+    centroid collect)."""
     d_sub = len(codebooks[0][0])
-    coded = pq_encode(embeddings, codebooks, id_col, vec_col)
     q_rows = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
     ).collect()
-    # the per-query tables travel as DATA in one broadcast table —
-    # one scan of the coded corpus however many queries there are (a
-    # per-query union would re-derive the encode lineage per query)
     tables = []
     for r in q_rows:
         qv = list(map(float, r.qv))
@@ -371,11 +550,17 @@ def pq_adc_topk(
                 for j, book in enumerate(codebooks)
             ],
         ))
-    spark = embeddings.sparkSession
-    tq = spark.createDataFrame(
+    return queries.sparkSession.createDataFrame(
         tables, "query_id long, tbl array<array<bigint>>"
     )
-    score = F.aggregate(
+
+
+def _adc_score():
+    """Approximate distance of a coded candidate against the joined
+    query table: sum of m integer table lookups (order-free BIGINT
+    sums — an 8-term float sum's addition order is engine-dependent
+    and could flip a 6dp rounding)."""
+    return F.aggregate(
         F.zip_with(
             F.col("codes"), F.col("tbl"),
             lambda c, row: F.element_at(row, c),
@@ -383,10 +568,110 @@ def pq_adc_topk(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebooks: List[List[List[float]]],
+    centroids: Optional[List[List[float]]] = None,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    lloyd_iters: int = 0,
+    vectorized: Optional[bool] = None,
+) -> DataFrame:
+    """IVF-PQ — the search stack a 10^9-vector corpus actually runs
+    (Jegou et al., PAMI 2011): the IVF coarse quantizer restricts
+    candidates to the query's n_probe nearest inverted lists, and ADC
+    over PQ CODES ranks them — per candidate O(m) integer table
+    lookups, never a dim-d dot product, over a corpus stored at
+    ~dim*4/m x compression.
+
+    Plan shape: corpus side is encode (codes) + coarse assignment
+    (list_id) — both single-pass projections over one scan; query
+    side is the probe-list explode joined to the broadcast ADC tables
+    (bounded query set); the only shuffle is the per-query top-k
+    window. Each vector lives in exactly one list, so a (query,
+    candidate) pair appears at most once — no dedup aggregation
+    needed.
+
+    ``vectorized=None`` auto-selects the Arrow/numpy paths above
+    IVF_EXPR_CENTROID_MAX coarse centroids (the expression path's
+    literal-plan wall); the expression config (seed codebooks,
+    lloyd_iters=0) is the oracle-exact driver form.
+
+    Output: (query_id, vec_id, approx_dist_micros, rank), rank 1 =
+    nearest by ADC distance, ties by vec_id."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_centroids, id_col=id_col, vec_col=vec_col,
+            lloyd_iters=lloyd_iters,
+            vectorized=_resolve_vectorized(vectorized, n_centroids),
+        )
+    vec = _resolve_vectorized(vectorized, len(centroids))
+    base = embeddings.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col))
+    if vec:
+        assigned = base.select(
+            "vec_id",
+            F.col(vec_col),
+            np_centroid_assign_udf(centroids)(F.col(vec_col))
+            .alias("list_id"),
+        )
+    else:
+        assigned = _staged_assign(
+            base, vec_col, centroids, keep=("vec_id",)
+        ).select(
+            "vec_id", F.col("v").alias(vec_col), "list_id"
+        )
+    coded = pq_encode(assigned, codebooks, "vec_id", vec_col,
+                      vectorized=vec, keep=("list_id",))
+    if vec:
+        probes = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            np_probe_lists_udf(centroids, n_probe)(F.col(vec_col))
+            .alias("__probes"),
+        )
+    else:
+        q0 = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        ).withColumn(
+            "__qs",
+            _centroid_scores(F.col("qv"), centroids, assume_double=True),
+        )
+        probes = q0.withColumn(
+            "__probes",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.zip_with(
+                            F.col("__qs"),
+                            F.sequence(F.lit(1), F.lit(len(centroids))),
+                            lambda s, i: F.struct((-s).alias("neg"),
+                                                  i.alias("i")),
+                        )
+                    ),
+                    lambda st: st["i"],
+                ),
+                1,
+                n_probe,
+            ),
+        )
+    probe_rows = probes.select(
+        "query_id", F.explode("__probes").alias("list_id")
+    )
+    tq = _adc_query_tables(queries, codebooks, query_id_col, vec_col)
+    q = probe_rows.join(tq, "query_id")
     scored = (
-        coded.crossJoin(F.broadcast(tq))
+        coded.join(F.broadcast(q), "list_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", score.alias("approx_dist_micros"))
+        .select("query_id", "vec_id",
+                _adc_score().alias("approx_dist_micros"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_dist_micros"), F.asc("vec_id")
@@ -506,6 +791,25 @@ def _staged_assign(df: DataFrame, vec_col: str,
     )
 
 
+# Above this many coarse centroids the expression-path assignment is
+# the wrong plan: it embeds n_centroids x dim literal arrays, and
+# Catalyst analysis cost grows with the codebook (measured unusable
+# past ~1k centroids). The scale dial is automatic — callers passing
+# vectorized=None get the Arrow/numpy path whenever the codebook
+# crosses this line; both paths are equality-pinned in tests.
+IVF_EXPR_CENTROID_MAX = 512
+
+
+def _resolve_vectorized(override: Optional[bool],
+                        n_centroids: int) -> bool:
+    """The one home for the expression-vs-numpy scale dial: an
+    explicit True/False wins; None auto-selects numpy above
+    IVF_EXPR_CENTROID_MAX centroids."""
+    if override is not None:
+        return override
+    return n_centroids > IVF_EXPR_CENTROID_MAX
+
+
 def np_centroid_assign_udf(centroids: Sequence[Sequence[float]]):
     """Vectorized (Arrow-batch numpy matmul) centroid assignment — the
     PRODUCTION path. The expression form keeps the summation order
@@ -604,18 +908,21 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lloyd_iters: int = 2,
-    vectorized: bool = False,
+    vectorized: Optional[bool] = None,
 ) -> List[List[float]]:
     """IVF index build: deterministic strided seed sample refined by
     ``lloyd_iters`` distributed Lloyd iterations. Each iteration is
     one Spark aggregation (posexplode -> per-(list, dim) mean) whose
     collect is bounded at n_centroids x dim rows — vectors never leave
-    the cluster. Returned codebook feeds ivf_topk(centroids=...)."""
+    the cluster. Returned codebook feeds ivf_topk(centroids=...).
+    ``vectorized=None`` auto-selects the numpy assignment path above
+    IVF_EXPR_CENTROID_MAX centroids (explicit True/False wins)."""
+    vec = _resolve_vectorized(vectorized, n_centroids)
     centroids = _strided_seed_vectors(embeddings, n_centroids, id_col,
                                       vec_col)
     for _ in range(lloyd_iters):
         centroids = _lloyd_step(embeddings, vec_col, centroids,
-                                vectorized=vectorized)
+                                vectorized=vec)
     return centroids
 
 
@@ -647,7 +954,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     centroids: Optional[List[List[float]]] = None,
     lloyd_iters: int = 2,
-    vectorized: bool = False,
+    vectorized: Optional[bool] = None,
 ) -> DataFrame:
     """IVF-style ANN: vectors are inverted-listed by nearest centroid;
     each query probes its n_probe nearest lists and scores only those
@@ -676,6 +983,11 @@ def ivf_topk(
             embeddings, n_centroids, id_col=id_col, vec_col=vec_col,
             lloyd_iters=lloyd_iters, vectorized=vectorized,
         )
+    # the scale dial is automatic: above IVF_EXPR_CENTROID_MAX actual
+    # centroids the literal-expression plan hits its planning wall, so
+    # vectorized=None switches to the numpy path without the caller
+    # having to know the threshold (What's-wrong #3, round 3)
+    vectorized = _resolve_vectorized(vectorized, len(centroids))
     if vectorized:
         e = embeddings.select(
             F.col(id_col).alias("vec_id"),

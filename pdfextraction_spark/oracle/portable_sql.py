@@ -821,6 +821,72 @@ def pq_adc_topk_sql(table: str = "embeddings", m: int = 8, k_cent: int = 16,
     """
 
 
+def ann_ivfpq_topk_sql(table: str = "embeddings", m: int = 8,
+                       k_cent: int = 16, dim: int = 64,
+                       n_probe: int = 4, k: int = 10,
+                       n_queries: int = 5) -> str:
+    """Mirror of ivfpq_topk(lloyd_iters=0, seed codebooks): the IVF
+    coarse quantizer (strided seed centroids, rounded-cosine argmax
+    assignment, top-n_probe probing — same chain as the green
+    ann_ivf_topk oracle) restricts candidates, and ADC over PQ codes
+    ranks them (same shared _pq_ctes + integer micro-unit tables as
+    the green pq_adc_topk oracle). The coarse centroid count is tied
+    to k_cent: both sides draw the SAME strided seed sample, so the
+    `seed` CTE serves as both the codebook source and the coarse
+    centroid list — mirroring the Spark driver config exactly."""
+    d = dim // m
+    return f"""
+        WITH {_pq_ctes(table, m, k_cent, d)}, cl AS (
+          SELECT list(v ORDER BY vec_id) AS cents FROM seed
+        ), cscores AS (
+          SELECT e.vec_id,
+                 [round(list_cosine_similarity(e.v, c), 6)
+                  for c in cl.cents] AS s
+          FROM e, cl
+        ), asg AS (
+          SELECT vec_id,
+                 CAST(list_position(s, list_max(s)) AS INTEGER)
+                   AS list_id,
+                 s
+          FROM cscores
+        ), probes AS (
+          SELECT vec_id AS query_id, i AS list_id
+          FROM (
+            SELECT a.vec_id, u.i,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY a.s[u.i] DESC, u.i ASC)
+                     AS pr
+            FROM asg a,
+                 (SELECT unnest(generate_series(1, {k_cent})) AS i) u
+            WHERE a.vec_id < {n_queries}
+          ) WHERE pr <= {n_probe}
+        ), qt AS (
+          SELECT vec_id AS query_id, j, c,
+                 CAST(round(dist * 1000000) AS BIGINT) AS micros
+          FROM dists WHERE vec_id < {n_queries}
+        ), scored AS (
+          SELECT qt.query_id, cd.vec_id,
+                 CAST(SUM(qt.micros) AS BIGINT) AS approx_dist_micros
+          FROM codes cd
+          JOIN asg a2 ON a2.vec_id = cd.vec_id
+          JOIN probes p ON p.list_id = a2.list_id
+          JOIN qt ON qt.query_id = p.query_id
+                 AND qt.j = cd.j AND qt.c = cd.code
+          WHERE cd.vec_id <> qt.query_id
+          GROUP BY qt.query_id, cd.vec_id
+        ), ranked AS (
+          SELECT query_id, vec_id, approx_dist_micros,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY approx_dist_micros ASC, vec_id ASC
+                 ) AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, approx_dist_micros, rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def cluster_representatives_sql(table: str = "documents", n: int = 3,
                                 threshold: float = 0.2,
                                 score_col: str = "n_chars") -> str:

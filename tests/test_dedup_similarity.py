@@ -553,3 +553,151 @@ class TestPQ:
             recalls.append(len(t & set(pq.vec_id)) / len(t))
         assert max(cand_counts) < emb.count() / 2
         assert sum(recalls) / len(recalls) >= 0.5
+
+    def test_vectorized_encode_equality(self, emb):
+        """The Arrow/numpy encoder must produce the exact codes the
+        expression path does (same 6dp rounding + first-wins argmin)
+        — the k=256 production path is only trustworthy if it is
+        bit-equal where both paths run."""
+        books = S.pq_train_codebooks(emb, m=8, k=16, dim=32)
+        a = (S.pq_encode(emb, books).toPandas()
+             .sort_values("vec_id").reset_index(drop=True))
+        b = (S.pq_encode(emb, books, vectorized=True).toPandas()
+             .sort_values("vec_id").reset_index(drop=True))
+        assert (a.codes.map(tuple) == b.codes.map(tuple)).all()
+
+    def test_vectorized_encode_large_k(self, emb):
+        """k=256 — the PQ-standard codebook size where the
+        literal-expression plan hits its planning wall — runs fine on
+        the numpy path and yields in-range codes."""
+        books = S.pq_train_codebooks(emb, m=8, k=256, dim=32)
+        # fixture has 300 vectors; strided seeding caps distinct seeds,
+        # but the codebook shape is what matters for the path
+        assert len(books[0]) == 256
+        out = S.pq_encode(emb, books, vectorized=True).toPandas()
+        assert len(out) == emb.count()
+        assert out.codes.map(
+            lambda cs: all(1 <= c <= 256 for c in cs)).all()
+
+    @staticmethod
+    def _quantization_mse(emb, books):
+        """Mean squared reconstruction error of the codebooks over the
+        fixture — the quantity Lloyd monotonically non-increases."""
+        import pandas as pd  # noqa: F401
+
+        rows = emb.orderBy("vec_id").toPandas()
+        M = np.array([np.asarray(v, dtype=np.float64)
+                      for v in rows.embedding])
+        B = np.asarray(books, dtype=np.float64)  # (m, k, d_sub)
+        m, _, d_sub = B.shape
+        err = 0.0
+        for j in range(m):
+            sub = M[:, j * d_sub:(j + 1) * d_sub]
+            diff = sub[:, None, :] - B[j][None, :, :]
+            d = (diff ** 2).sum(-1)
+            err += d.min(axis=1).sum()
+        return err / M.shape[0]
+
+    def test_lloyd_training_dominates_seeds(self, emb):
+        """Per-subspace Lloyd refinement must beat the strided seed
+        codebooks: strictly lower quantization MSE, and ADC recall vs
+        brute force at least as good."""
+        from pyspark.sql import functions as F
+
+        seed = S.pq_train_codebooks(emb, m=8, k=16, dim=32)
+        trained = S.pq_train_codebooks(emb, m=8, k=16, dim=32,
+                                       lloyd_iters=2)
+        mse_seed = self._quantization_mse(emb, seed)
+        mse_trained = self._quantization_mse(emb, trained)
+        assert mse_trained < mse_seed
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        bf = S.brute_force_topk(emb, queries, k=10).toPandas()
+
+        def recall(books):
+            pq = S.pq_adc_topk(emb, queries, books, k=10).toPandas()
+            rs = []
+            for q in range(10):
+                t = set(bf[bf.query_id == q].vec_id)
+                rs.append(len(t & set(pq[pq.query_id == q].vec_id))
+                          / len(t))
+            return np.mean(rs)
+
+        assert recall(trained) >= recall(seed)
+
+    def test_lloyd_vectorized_parity(self, emb):
+        """The numpy-assignment Lloyd path must train the same
+        codebooks as the expression path (same rounding/tie policy ->
+        same assignments -> same means)."""
+        a = S.pq_train_codebooks(emb, m=8, k=16, dim=32,
+                                 lloyd_iters=1)
+        b = S.pq_train_codebooks(emb, m=8, k=16, dim=32,
+                                 lloyd_iters=1, vectorized=True)
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+    def test_ivfpq_topk(self, emb):
+        """The composed ivfpq_topk function (driver query shape):
+        recall vs brute force stays useful, the two execution paths
+        agree, and ADC distances are non-decreasing in rank."""
+        from pyspark.sql import functions as F
+
+        books = S.pq_train_codebooks(emb, m=8, k=16, dim=32,
+                                     lloyd_iters=2)
+        cents = S.train_ivf_centroids(emb, n_centroids=16,
+                                      lloyd_iters=0)
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        expr = S.ivfpq_topk(emb, queries, books, centroids=cents,
+                            k=10, n_probe=4, vectorized=False).toPandas()
+        vec = S.ivfpq_topk(emb, queries, books, centroids=cents,
+                           k=10, n_probe=4, vectorized=True).toPandas()
+        key = ["query_id", "vec_id", "approx_dist_micros", "rank"]
+        a = expr[key].sort_values(key).reset_index(drop=True)
+        b = vec[key].sort_values(key).reset_index(drop=True)
+        assert a.equals(b)
+        bf = S.brute_force_topk(emb, queries, k=10).toPandas()
+        recalls = []
+        for q in range(5):
+            t = set(bf[bf.query_id == q].vec_id)
+            recalls.append(
+                len(t & set(expr[expr.query_id == q].vec_id)) / len(t))
+        assert np.mean(recalls) >= 0.5
+        for q in range(5):
+            d = list(expr[expr.query_id == q].sort_values("rank")
+                     .approx_dist_micros)
+            assert d == sorted(d)
+
+    def test_resolve_vectorized_dial(self):
+        """The expression-vs-numpy switch: explicit override always
+        wins; None flips to numpy above IVF_EXPR_CENTROID_MAX."""
+        assert S._resolve_vectorized(True, 4) is True
+        assert S._resolve_vectorized(False, 10_000) is False
+        assert S._resolve_vectorized(
+            None, S.IVF_EXPR_CENTROID_MAX) is False
+        assert S._resolve_vectorized(
+            None, S.IVF_EXPR_CENTROID_MAX + 1) is True
+
+    def test_ivf_auto_switch_plan(self, emb, monkeypatch):
+        """Above the centroid threshold ivf_topk must pick the Arrow
+        path without the caller setting any dial: the executed plan
+        contains ArrowEvalPython stages instead of the literal
+        expression tree."""
+        from pyspark.sql import functions as F
+
+        cents = S.train_ivf_centroids(emb, n_centroids=16,
+                                      lloyd_iters=0)
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        monkeypatch.setattr(S, "IVF_EXPR_CENTROID_MAX", 8)
+        auto = S.ivf_topk(emb, queries, k=5, centroids=cents,
+                          n_probe=2)
+        plan = auto._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan
+        monkeypatch.setattr(S, "IVF_EXPR_CENTROID_MAX", 512)
+        expr = S.ivf_topk(emb, queries, k=5, centroids=cents,
+                          n_probe=2)
+        plan2 = expr._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan2
