@@ -944,6 +944,62 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel with the NEAR-dup canonicalization stage real
+    pipelines run between exact dedup and the repetition gate:
+    minhash-LSH pairs over the survivors (portable md5 family — the
+    exact chain the green minhash_lsh_pairs row checks), connected
+    components, keep the highest-quality copy per cluster (ties ->
+    smallest id). The oracle re-derives the whole chain including a
+    WITH RECURSIVE transitive closure; the fixture's planted near-dup
+    documents are demonstrably removed (pinned in pytest)."""
+    from pdfextraction_spark.functions.curation import curation_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation_funnel(
+        docs, min_quality=0.5, max_top2_frac=0.12, per_lang=10,
+        near_dup=True, nd_threshold=0.2,
+    ).select(
+        "doc_id", "lang",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    )
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF keywords (smooth log idf) — the
+    keyword-extraction primitive of corpus analytics. TF and DF are
+    two hash aggregations; the TF x DF join shuffles on term (a web
+    vocabulary is too large to broadcast — corpus_token_stats
+    stance); top-k is one doc-keyed window."""
+    from pdfextraction_spark.functions.repetition import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=5)
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-stable train/val/test assignment
+    (md5-32 uniform on doc_id): a doc keeps its split across reruns,
+    partitionings, and corpus growth — the anti-contamination
+    property a random split lacks. Zero shuffle."""
+    from pdfextraction_spark.functions.sampling import dataset_split
+
+    return dataset_split(
+        _t(spark, sf_dir, "documents"), train=0.8, val=0.1
+    ).select("doc_id", "lang", "split")
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact R-7 length quantiles (chars + whitespace
+    tokens) — the distribution summary that chooses chunking/packing
+    dials; percentile_approx (t-digest) is the documented swap for
+    billion-row strata."""
+    from pdfextraction_spark.functions.repetition import (
+        corpus_length_quantiles,
+    )
+
+    return corpus_length_quantiles(_t(spark, sf_dir, "documents"))
+
+
 def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data gate: extraction -> language-ID +
     quality scoring on the EXTRACTED text -> filtered corpus rows."""
@@ -1028,6 +1084,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "pack_chunks": q_pack_chunks,
         "curation_funnel": q_curation_funnel,
+        "curation_funnel_v2": q_curation_funnel_v2,
+        "tfidf_topk": q_tfidf_topk,
+        "dataset_split": q_dataset_split,
+        "length_quantiles": q_length_quantiles,
         "training_filter": q_training_filter,
     }
 
@@ -1330,24 +1390,69 @@ def _portable_oracle_sql() -> dict[str, str]:
         "pack_chunks": P.pack_chunks_sql(chunk_tokens=32, stride=24,
                                          capacity=128, n_shards=8),
         "curation_funnel": _curation_funnel_sql(),
+        "curation_funnel_v2": _curation_funnel_sql(near_dup=True),
+        "tfidf_topk": P.tfidf_topk_sql(k=5),
+        "dataset_split": P.dataset_split_sql(train=0.8, val=0.1),
+        "length_quantiles": P.corpus_length_quantiles_sql(),
     }
 
 
 def _curation_funnel_sql(q_min: float = 0.5, top2_max: float = 0.12,
-                         k: int = 10) -> str:
-    """Mirror of q_curation_funnel: quality/language fragments copied
-    verbatim from the (oracle-green) token_stats SQL, md5-normalized
-    exact-dedup canon, top-2-gram repetition gate, md5-32 quota rank.
-    Parameters MUST match the q_curation_funnel calls."""
-    from pdfextraction_spark.oracle.portable_sql import _MD5_32
+                         k: int = 10, near_dup: bool = False,
+                         nd_threshold: float = 0.2) -> str:
+    """Mirror of q_curation_funnel / q_curation_funnel_v2:
+    quality/language fragments copied verbatim from the (oracle-green)
+    token_stats SQL, md5-normalized exact-dedup canon, top-2-gram
+    repetition gate, md5-32 quota rank. ``near_dup=True`` inserts the
+    v2 stage 2b — the portable minhash-LSH pair chain (shared
+    _minhash_pair_ctes, the exact chain the green minhash_lsh_pairs
+    row checks) feeding a WITH RECURSIVE transitive closure and a
+    keep-best-quality representative pick. Parameters MUST match the
+    q_curation_funnel* calls."""
+    from pdfextraction_spark.oracle.portable_sql import (
+        _MD5_32,
+        _minhash_pair_ctes,
+    )
 
     stop_ratio = ("(CASE WHEN n_ws = 0 THEN 0.0 "
                   "ELSE n_stop * 1.0 / n_ws END)")
     punct_ratio = ("(CASE WHEN n_chars = 0 THEN 0.0 "
                    "ELSE n_punct * 1.0 / n_chars END)")
     u = _MD5_32.format(expr="CAST(doc_id AS VARCHAR)")
+    nd_block = ""
+    kept_src = "surv"
+    recursive = ""
+    if near_dup:
+        recursive = "RECURSIVE "
+        kept_src = "surv2"
+        nd_block = f"""{_minhash_pair_ctes(
+            "surv", n=3, num_hashes=32, bands=8,
+            threshold=nd_threshold, prefix="mh_")},
+        und AS (
+          SELECT id_a AS a, id_b AS b FROM mh_pairs
+          UNION
+          SELECT id_b, id_a FROM mh_pairs
+        ), reach(node, r) AS (
+          SELECT doc_id, doc_id FROM surv
+          UNION
+          SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.node
+        ), comp AS (
+          SELECT node AS doc_id, MIN(r) AS cluster_id
+          FROM reach GROUP BY node
+        ), reps AS (
+          SELECT doc_id FROM (
+            SELECT c.doc_id,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                                      ORDER BY s.q_score DESC,
+                                               c.doc_id ASC) AS rn
+            FROM comp c JOIN surv s USING (doc_id)
+          ) WHERE rn = 1
+        ), surv2 AS (
+          SELECT s.doc_id, s.text, s.lang
+          FROM surv s JOIN reps USING (doc_id)
+        ),"""
     return f"""
-        WITH q AS (
+        WITH {recursive}q AS (
           SELECT doc_id, text, lang,
             length(text) AS n_chars,
             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
@@ -1363,7 +1468,11 @@ def _curation_funnel_sql(q_min: float = 0.5, top2_max: float = 0.12,
               AS n_ascii
           FROM documents
         ), gated AS (
-          SELECT doc_id, text, lang FROM q
+          SELECT doc_id, text, lang,
+                 round((least(n_chars / 500.0, 1.0)
+                  + (1.0 - least({punct_ratio} * 4.0, 1.0))
+                  + least({stop_ratio} * 5.0, 1.0)) / 3.0, 4) AS q_score
+          FROM q
           WHERE round((least(n_chars / 500.0, 1.0)
                  + (1.0 - least({punct_ratio} * 4.0, 1.0))
                  + least({stop_ratio} * 5.0, 1.0)) / 3.0, 4) >= {q_min}
@@ -1377,12 +1486,12 @@ def _curation_funnel_sql(q_min: float = 0.5, top2_max: float = 0.12,
             FROM gated
           ) GROUP BY fp
         ), surv AS (
-          SELECT g.doc_id, g.text, g.lang
+          SELECT g.doc_id, g.text, g.lang, g.q_score
           FROM gated g JOIN canon USING (doc_id)
-        ), toks AS (
+        ), {nd_block} toks AS (
           SELECT doc_id, length(text) AS total_chars,
                  string_split(text, ' ') AS t
-          FROM surv
+          FROM {kept_src}
         ), g2 AS (
           SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
           FROM toks, LATERAL (SELECT unnest(generate_series(
@@ -1400,7 +1509,8 @@ def _curation_funnel_sql(q_min: float = 0.5, top2_max: float = 0.12,
           WHERE round(coalesce(a2.top_chars, 0) / tk.total_chars, 6)
                 <= {top2_max}
         ), final AS (
-          SELECT s.doc_id, s.lang FROM surv s JOIN calm USING (doc_id)
+          SELECT s.doc_id, s.lang
+          FROM {kept_src} s JOIN calm USING (doc_id)
         )
         SELECT doc_id, lang, sample_rank FROM (
           SELECT doc_id, lang,

@@ -72,8 +72,9 @@ def _cmd_fixture(args: argparse.Namespace) -> int:
 def _cmd_curate(args: argparse.Namespace) -> int:
     """Run the curation funnel over a documents-shaped parquet table:
     quality/language gate -> exact-dedup canonicalization ->
-    repetition gate -> per-language quota sample; writes the selected
-    subset (doc_id, lang, sample_rank + original columns) and prints
+    [optional minhash-LSH near-dup canonicalization ->] repetition
+    gate -> per-language quota sample; writes the selected subset
+    (doc_id, lang, sample_rank + original columns) and prints
     per-stage counts as JSON."""
     from .functions.curation import curation_funnel_stages
     from .functions.sampling import quota_sample
@@ -85,6 +86,10 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         stages = curation_funnel_stages(
             docs, min_quality=args.min_quality,
             max_top2_frac=args.max_top2_frac,
+            near_dup=args.near_dup, nd_threshold=args.nd_threshold,
+            # the CLI is the production surface: xxhash64 hash family
+            # (the portable md5 family exists for the SQL oracle)
+            portable=False,
         )
         # persist the reused stages: every later stage and every count
         # below would otherwise re-run the full funnel lineage from
@@ -97,14 +102,19 @@ def _cmd_curate(args: argparse.Namespace) -> int:
             )
             selected.write.mode(args.mode).parquet(args.output)
             out = spark.read.parquet(args.output)
-            print(json.dumps({
+            counts = {
                 "input_docs": docs.count(),
                 "after_quality_lang": stages["gated"].count(),
                 "after_exact_dedup": stages["survivors"].count(),
+            }
+            if "nd_kept" in stages:
+                counts["after_near_dedup"] = stages["nd_kept"].count()
+            counts.update({
                 "after_repetition_gate": stages["final"].count(),
                 "selected": out.count(),
                 "output": args.output,
-            }))
+            })
+            print(json.dumps(counts))
         finally:
             for df in stages.values():
                 df.unpersist()
@@ -144,6 +154,11 @@ def main(argv=None) -> int:
     c.add_argument("--min-quality", type=float, default=0.5)
     c.add_argument("--max-top2-frac", type=float, default=0.2)
     c.add_argument("--per-lang", type=int, default=100000)
+    c.add_argument("--near-dup", action="store_true",
+                   help="insert the minhash-LSH near-dup "
+                        "canonicalization stage (keep-best-quality)")
+    c.add_argument("--nd-threshold", type=float, default=0.5,
+                   help="Jaccard threshold for the near-dup stage")
     c.add_argument("--mode", default="error",
                    help="parquet write mode (error|overwrite)")
     c.set_defaults(fn=_cmd_curate)

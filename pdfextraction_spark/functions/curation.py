@@ -1,20 +1,25 @@
 """The curation funnel — one shared implementation for the driver
-query (q_curation_funnel, hash-verified against the DuckDB mirror in
-__spark_entry__._curation_funnel_sql) and the `cli curate` command.
-Stage order and expressions are the oracle contract: any change here
-must be mirrored in the SQL.
+queries (q_curation_funnel / q_curation_funnel_v2, hash-verified
+against the DuckDB mirrors in __spark_entry__._curation_funnel_sql)
+and the `cli curate` command. Stage order and expressions are the
+oracle contract: any change here must be mirrored in the SQL.
 
 Stages: (1) quality + language gate, (2) exact-dedup canonicalization
 (md5 of whitespace-normalized lowercased text, min id wins — the
-portable analogue of the xxhash64 production key), (3) repetition gate
-on the top-2-gram char share, (4) language-balanced quota sample.
+portable analogue of the xxhash64 production key), (2b, optional)
+NEAR-dup canonicalization — minhash-LSH pairs over the survivors,
+connected components, keep the highest-quality copy per cluster —
+(3) repetition gate on the top-2-gram char share, (4)
+language-balanced quota sample.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..operators.graph import cluster_representatives
 from . import text as X
+from .dedup import minhash_lsh_pairs
 from .repetition import ngram_repetition_stats
 from .sampling import quota_sample
 
@@ -23,12 +28,30 @@ def curation_funnel_stages(
     docs: DataFrame,
     min_quality: float = 0.5,
     max_top2_frac: float = 0.12,
+    near_dup: bool = False,
+    nd_threshold: float = 0.2,
+    portable: bool = True,
 ) -> dict:
     """The funnel's intermediate stages, keyed gated -> survivors ->
-    final (each a DataFrame with the original doc columns)."""
+    [nd_kept ->] final (each a DataFrame with the original doc
+    columns).
+
+    ``near_dup=True`` inserts stage 2b: near-duplicate
+    canonicalization between the exact-dedup canon and the repetition
+    gate — the ordering real pipelines use (exact dedup first shrinks
+    the near-dup candidate set; repetition gating after dedup avoids
+    scoring doomed copies). Pairs come from minhash-LSH (the
+    scale-safe blocked path, the same portable md5 family the green
+    minhash_lsh_pairs oracle re-derives), components from distributed
+    min-label propagation, and the kept copy is the HIGHEST-QUALITY
+    cluster member (ties -> smallest id) via cluster_representatives
+    — near-dup copies differ in noise/truncation and the funnel wants
+    the best one, not an arbitrary one. ``portable=False`` switches
+    the pair stage to the xxhash64 production hash family."""
     t = F.col("text")
+    quality = F.round(X.quality_score(t), 4)
     gated = docs.filter(
-        (F.round(X.quality_score(t), 4) >= min_quality) & X.is_english(t)
+        (quality >= min_quality) & X.is_english(t)
     )
     norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
     canon = (
@@ -38,13 +61,25 @@ def curation_funnel_stages(
         .select("doc_id")
     )
     survivors = gated.join(canon, "doc_id", "semi")
+    stages = {"gated": gated, "survivors": survivors}
+    if near_dup:
+        pairs = minhash_lsh_pairs(
+            survivors, threshold=nd_threshold, portable=portable
+        ).select("id_a", "id_b")
+        scored = survivors.select("doc_id", quality.alias("__q"))
+        reps = cluster_representatives(
+            scored, pairs, score_col="__q"
+        ).filter("is_representative").select("doc_id")
+        survivors = survivors.join(reps, "doc_id", "semi")
+        stages["nd_kept"] = survivors
     calm = (
         ngram_repetition_stats(survivors, top_ns=(2,), dup_ns=())
         .filter(F.col("top2_frac") <= max_top2_frac)
         .select("doc_id")
     )
     final = survivors.join(calm, "doc_id", "semi")
-    return {"gated": gated, "survivors": survivors, "final": final}
+    stages["final"] = final
+    return stages
 
 
 def curation_funnel(
@@ -52,7 +87,13 @@ def curation_funnel(
     min_quality: float = 0.5,
     max_top2_frac: float = 0.12,
     per_lang: int = 10,
+    near_dup: bool = False,
+    nd_threshold: float = 0.2,
+    portable: bool = True,
 ) -> DataFrame:
     """Selected training subset with per-language sample_rank."""
-    stages = curation_funnel_stages(docs, min_quality, max_top2_frac)
+    stages = curation_funnel_stages(
+        docs, min_quality, max_top2_frac,
+        near_dup=near_dup, nd_threshold=nd_threshold, portable=portable,
+    )
     return quota_sample(stages["final"], k=per_lang, stratum_col="lang")

@@ -262,3 +262,85 @@ def contamination_hits(
         ),
         "min_eval_id",
     )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (smooth log idf:
+    ln((1 + N) / (1 + df)) + 1): (doc_id, term, tfidf, rank) with
+    rank 1 = highest, ties by term asc after the 6dp round.
+
+    Scale shape: terms from one explode of the whitespace split; TF is
+    one hash aggregation on (doc, term); DF is a second aggregation of
+    the already-distinct TF rows; the TF x DF join shuffles on term —
+    NOT broadcast, the term vocabulary of a web corpus is large (same
+    stance as corpus_token_stats' model join); the final top-k is one
+    doc-keyed window. N (corpus size) is a bounded scalar collect,
+    the same metadata stance as the IVF centroid collects."""
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = (
+        F.log((F.lit(1.0) + F.lit(float(n_docs)))
+              / (F.lit(1.0) + F.col("df")))
+        + F.lit(1.0)
+    )
+    scored = tf.join(dfreq, "term").select(
+        "doc_id", "term",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def corpus_length_quantiles(
+    docs: DataFrame,
+    probs: Sequence[float] = (0.25, 0.5, 0.75, 0.9),
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum EXACT interpolated length quantiles (R-7, the
+    convention Spark `percentile` and DuckDB `quantile_cont` share) of
+    character and whitespace-token counts, plus the stratum count —
+    the distribution summary a curation run reports per language to
+    choose chunking/packing dials. Output columns are scalar
+    (p50_chars, ... — the driver canonicalizer rejects arrays).
+
+    Exact percentile sorts within each group — right for per-language
+    reporting (bounded strata). For quantiles over BILLIONS of rows in
+    one group use percentile_approx (t-digest, mergeable sketches) —
+    the documented scale swap."""
+    t = F.trim(F.col(text_col))
+    n_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+    base = docs.select(
+        F.col(stratum_col).alias("stratum"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+    )
+    aggs = [F.count("*").alias("n_docs")]
+    for p in probs:
+        tag = f"p{int(round(p * 100))}"
+        aggs.append(
+            F.round(F.percentile("n_chars", F.lit(float(p))), 4)
+            .alias(f"{tag}_chars")
+        )
+        aggs.append(
+            F.round(F.percentile("n_tokens", F.lit(float(p))), 4)
+            .alias(f"{tag}_tokens")
+        )
+    return base.groupBy("stratum").agg(*aggs)

@@ -83,3 +83,28 @@ def quota_sample(df: DataFrame, k: int, stratum_col: str,
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def dataset_split(df: DataFrame, train: float = 0.8, val: float = 0.1,
+                  key_col: str = "doc_id",
+                  split_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: the md5-32 uniform on
+    the key partitions [0,1) into [0, train) -> 'train',
+    [train, train+val) -> 'val', rest -> 'test'.
+
+    Content-stable: a document keeps its split across runs,
+    partitionings, engines, AND corpus growth (assignment depends only
+    on its own key, never on corpus order or size) — the property that
+    prevents eval-set contamination when the corpus is re-snapshotted
+    or incrementally extended; a random split re-shuffles documents
+    between train and eval on every rebuild. Zero shuffle — a pure
+    projection Catalyst pushes past joins and under scans."""
+    if not (0 < train < 1 and 0 <= val and train + val <= 1):
+        raise ValueError("need 0 < train < 1, val >= 0, train+val <= 1")
+    u = hash_uniform(F.col(key_col))
+    split = (
+        F.when(u < F.lit(float(train)), F.lit("train"))
+        .when(u < F.lit(float(train + val)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(split_col, split)

@@ -33,70 +33,85 @@ _MD5_60 = (
 )
 
 
-def _shingle_cte(table: str, n: int) -> str:
+def _shingle_cte(table: str, n: int, prefix: str = "") -> str:
     """DISTINCT word n-gram shingles of lower(trim(text)) — mirrors
     dedup.with_shingles (docs shorter than n collapse to one shingle
-    of the whole text)."""
+    of the whole text). ``prefix`` namespaces the CTE names so the
+    fragment composes into statements that already use toks/sh."""
     return f"""
-        toks AS (
+        {prefix}toks AS (
           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
           FROM {table}
-        ), sh AS (
+        ), {prefix}sh AS (
           SELECT DISTINCT doc_id,
             CASE WHEN len(t) < {n} THEN array_to_string(t, ' ')
                  ELSE array_to_string(t[i:i+{n - 1}], ' ') END AS s
-          FROM toks,
+          FROM {prefix}toks,
             LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - {n - 1}, 1))) AS i)
         )"""
 
 
-def minhash_lsh_pairs_sql(table: str = "documents", n: int = 3,
-                          num_hashes: int = 32, bands: int = 8,
-                          threshold: float = 0.2) -> str:
-    """Mirror of minhash_lsh_pairs(portable=True): seeded md5-prefix
-    minhash signatures, comma-joined band keys, band equi-join
-    candidates, exact-Jaccard verification.
+def _minhash_pair_ctes(table: str, n: int = 3, num_hashes: int = 32,
+                       bands: int = 8, threshold: float = 0.2,
+                       prefix: str = "") -> str:
+    """CTE chain ending in ``{prefix}pairs(id_a, id_b, jaccard)`` —
+    the portable minhash-LSH near-dup pair derivation (seeded
+    md5-prefix signatures, comma-joined band keys, band equi-join
+    candidates, exact-Jaccard verification), packaged for reuse so
+    composite oracles (the curation funnel) share the exact chain the
+    green minhash_lsh_pairs row checks.
 
     Only the first bands*r hashes are generated: when bands does not
     divide num_hashes the Spark side's _band_bucket_rows ignores the
     remainder hashes, and an `i // r` over the full range would
     fabricate a partial band the Spark plan never builds."""
     r = num_hashes // bands
-    return f"""
-        WITH {_shingle_cte(table, n)},
-        sig AS (
+    p = prefix
+    return f"""{_shingle_cte(table, n, prefix=p)},
+        {p}sig AS (
           SELECT doc_id, i // {r} AS band,
                  string_agg(mh, ',' ORDER BY i) AS key
           FROM (
             SELECT doc_id, i,
                    MIN(substring(md5(i || ':' || s), 1, 16)) AS mh
-            FROM sh,
+            FROM {p}sh,
               LATERAL (SELECT unnest(generate_series(0, {bands * r - 1})) AS i)
             GROUP BY doc_id, i
           ) mh
           GROUP BY doc_id, band
-        ), cand AS (
+        ), {p}cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM sig a
-          JOIN sig b ON a.band = b.band AND a.key = b.key
+          FROM {p}sig a
+          JOIN {p}sig b ON a.band = b.band AND a.key = b.key
                     AND a.doc_id < b.doc_id
-        ), sizes AS (
-          SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
-        ), inter AS (
+        ), {p}sizes AS (
+          SELECT doc_id, COUNT(*) AS n_sh FROM {p}sh GROUP BY doc_id
+        ), {p}inter AS (
           SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
-          FROM cand c
-          JOIN sh a ON a.doc_id = c.id_a
-          JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+          FROM {p}cand c
+          JOIN {p}sh a ON a.doc_id = c.id_a
+          JOIN {p}sh b ON b.doc_id = c.id_b AND b.s = a.s
           GROUP BY c.id_a, c.id_b
-        )
-        SELECT i.id_a, i.id_b,
-               round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6)
-                 AS jaccard
-        FROM inter i
-        JOIN sizes sa ON sa.doc_id = i.id_a
-        JOIN sizes sb ON sb.doc_id = i.id_b
-        WHERE round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6)
-                >= {threshold}
+        ), {p}pairs AS (
+          SELECT i.id_a, i.id_b,
+                 round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6)
+                   AS jaccard
+          FROM {p}inter i
+          JOIN {p}sizes sa ON sa.doc_id = i.id_a
+          JOIN {p}sizes sb ON sb.doc_id = i.id_b
+          WHERE round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6)
+                  >= {threshold}
+        )"""
+
+
+def minhash_lsh_pairs_sql(table: str = "documents", n: int = 3,
+                          num_hashes: int = 32, bands: int = 8,
+                          threshold: float = 0.2) -> str:
+    """Mirror of minhash_lsh_pairs(portable=True) — see
+    _minhash_pair_ctes for the chain."""
+    return f"""
+        WITH {_minhash_pair_ctes(table, n, num_hashes, bands, threshold)}
+        SELECT id_a, id_b, jaccard FROM pairs
     """
 
 
@@ -818,6 +833,81 @@ def pq_adc_topk_sql(table: str = "embeddings", m: int = 8, k_cent: int = 16,
         )
         SELECT query_id, vec_id, approx_dist_micros, rank
         FROM ranked WHERE rank <= {k}
+    """
+
+
+def tfidf_topk_sql(table: str = "documents", k: int = 5) -> str:
+    """Mirror of repetition.tfidf_topk: whitespace terms of
+    lower(trim(text)), TF x smooth-log IDF (ln((1+N)/(1+df)) + 1)
+    rounded to 6dp, per-doc top-k by (tfidf desc, term asc)."""
+    return f"""
+        WITH tk AS (
+          SELECT doc_id, unnest(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> length(x) > 0)) AS term
+          FROM {table}
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM tk GROUP BY doc_id, term
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (
+          SELECT count(*) AS n FROM {table}
+        ), scored AS (
+          SELECT tf.doc_id, tf.term,
+                 round(tf.tf * (ln((1.0 + n.n) / (1.0 + dfreq.df))
+                                + 1.0), 6) AS tfidf
+          FROM tf JOIN dfreq USING (term), n
+        )
+        SELECT doc_id, term, tfidf, rank FROM (
+          SELECT doc_id, term, tfidf,
+                 CAST(row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def dataset_split_sql(table: str = "documents", train: float = 0.8,
+                      val: float = 0.1) -> str:
+    """Mirror of sampling.dataset_split: md5-32 uniform thresholds.
+    The threshold literals are formatted with repr() so both engines
+    parse the identical decimal -> identical double -> identical
+    comparisons."""
+    u = _MD5_32.format(expr="CAST(doc_id AS VARCHAR)")
+    return f"""
+        SELECT doc_id, lang,
+               CASE WHEN ({u}) / 4294967296.0 < {train!r} THEN 'train'
+                    WHEN ({u}) / 4294967296.0 < {train + val!r} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM {table}
+    """
+
+
+def corpus_length_quantiles_sql(table: str = "documents",
+                                probs=(0.25, 0.5, 0.75, 0.9)) -> str:
+    """Mirror of repetition.corpus_length_quantiles: R-7 interpolated
+    quantiles (DuckDB quantile_cont == Spark percentile) of char and
+    whitespace-token counts per lang."""
+    cols = ["count(*) AS n_docs"]
+    for p in probs:
+        tag = f"p{int(round(p * 100))}"
+        cols.append(f"round(quantile_cont(n_chars, {p!r}), 4)"
+                    f" AS {tag}_chars")
+        cols.append(f"round(quantile_cont(n_tokens, {p!r}), 4)"
+                    f" AS {tag}_tokens")
+    return f"""
+        WITH base AS (
+          SELECT lang AS stratum,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END AS BIGINT) AS n_tokens
+          FROM {table}
+        )
+        SELECT stratum, {", ".join(cols)}
+        FROM base GROUP BY stratum
     """
 
 

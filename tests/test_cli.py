@@ -89,3 +89,22 @@ def test_cli_curate_end_to_end(tmp_path):
         f"select lang, count(*) from '{out}/*.parquet' group by lang"
     ).fetchall()
     assert all(c <= 5 for _, c in per_lang)
+
+
+@pytest.mark.slow
+def test_cli_curate_near_dup_stage(tmp_path):
+    """--near-dup inserts the minhash-LSH canonicalization stage and
+    reports its count between exact dedup and the repetition gate."""
+    out = str(tmp_path / "curated_nd")
+    r = subprocess.run(
+        [sys.executable, "-m", "pdfextraction_spark.cli", "curate",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", out, "--master", "local[4]", "--per-lang", "5",
+         "--near-dup", "--nd-threshold", "0.2"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert (s["input_docs"] >= s["after_quality_lang"]
+            >= s["after_exact_dedup"] >= s["after_near_dedup"]
+            >= s["after_repetition_gate"] >= s["selected"] > 0)

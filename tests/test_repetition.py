@@ -292,6 +292,54 @@ class TestCurationFunnel:
             .toPandas().sort_values("doc_id").reset_index(drop=True)
         assert a.equals(b)
 
+    def test_near_dup_stage_keeps_best_copy(self, spark, tmp_path):
+        """v2's stage 2b must collapse a planted NEAR-dup pair (which
+        exact dedup cannot touch) and keep the higher-quality copy —
+        v1 keeps both, proving the stage is what removes it."""
+        import os
+
+        import __spark_entry__ as e
+        from pyspark.sql import functions as F
+        from pdfextraction_spark.functions import text as X
+
+        good = ("the alpha and beta of gamma is delta for epsilon on "
+                "zeta with eta as theta was iota at kappa by lam an "
+                "mu be nu this xi that omicron or pi in rho to sigma "
+                "a tau it upsilon")
+        # 2 token insertions out of ~45: 3-gram Jaccard ~0.8, well
+        # above the 0.2 stage threshold; longer text -> higher quality
+        near = good.replace("alpha", "alpha prime") \
+                   .replace("kappa", "kappa prime")
+        control = ("a quiet fox and the old dog walk by this green "
+                   "river to find some warm food for their small "
+                   "friends near that wooden bridge on an east hill "
+                   "where every bird can rest")
+        rows = [
+            (1, good, "en", "s0", len(good)),
+            (5, near, "en", "s0", len(near)),
+            (9, control, "en", "s1", len(control)),
+        ]
+        schema = ("doc_id long, text string, lang string, "
+                  "source string, n_chars long")
+        d = tmp_path / "nd_sf"
+        os.makedirs(d, exist_ok=True)
+        spark.createDataFrame(rows, schema).toPandas().to_parquet(
+            str(d / "documents.parquet"), index=False
+        )
+        v1 = set(e.q_curation_funnel(spark, str(d)).toPandas().doc_id)
+        v2 = set(e.q_curation_funnel_v2(spark, str(d)).toPandas().doc_id)
+        assert {1, 5, 9} <= v1          # v1 keeps both near-dups
+        assert 9 in v2
+        assert len(v2 & {1, 5}) == 1    # v2 collapses the pair
+        q = {
+            r.doc_id: r.q for r in spark.createDataFrame(rows, schema)
+            .select("doc_id",
+                    F.round(X.quality_score(F.col("text")), 4).alias("q"))
+            .collect()
+        }
+        best = 1 if (q[1], -1) > (q[5], -5) else 5
+        assert v2 & {1, 5} == {best}    # keep-best, not min-id
+
 
 class TestRandomizedParity:
     def test_repetition_family_fuzz_vs_duckdb(self, spark):
@@ -461,3 +509,141 @@ class TestPacking:
                         capacity=8, n_shards=4).toPandas() \
             .sort_values(key).reset_index(drop=True)
         assert a.equals(b)
+
+    def test_shard_balance_under_mega_doc_skew(self, spark):
+        """Shard assignment is per-DOC (all of a mega-document's
+        chunks land in one shard), so a skewed corpus is the
+        worst case for packing balance. Planted mega-doc family: the
+        content-hash shard spread must keep every shard's bin count
+        within a small factor of the mean — the skew guarantee the
+        mega-conversation salting test pins for extraction."""
+        from pdfextraction_spark.functions.chunking import (
+            chunk_documents,
+            pack_chunks,
+        )
+
+        rows = [(i, " ".join(f"w{i}x{j}" for j in range(8)))
+                for i in range(200)]
+        # 16 mega docs, each ~50x the token mass of a small doc —
+        # the family carries ~80% of all tokens
+        rows += [(1000 + i, " ".join(f"m{i}t{j}" for j in range(400)))
+                 for i in range(16)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pack_chunks(
+            chunk_documents(docs, chunk_tokens=8, stride=8),
+            capacity=64, n_shards=8,
+        ).toPandas()
+        bins = out.groupby("shard").bin_id.nunique()
+        assert len(bins) == 8          # every shard used
+        assert bins.max() <= 2.5 * bins.mean()
+        # token-mass balance, the quantity that actually gates the
+        # slowest packing task
+        mass = out.groupby("shard").n_tokens.sum()
+        assert mass.max() <= 2.5 * mass.mean()
+
+
+class TestTfidf:
+    def test_hand_computed(self, spark):
+        import math
+
+        from pdfextraction_spark.functions.repetition import tfidf_topk
+
+        docs = spark.createDataFrame(
+            [(1, "apple banana apple"),
+             (2, "banana cherry"),
+             (3, "cherry durian cherry durian")],
+            "doc_id long, text string",
+        )
+        out = tfidf_topk(docs, k=2).toPandas()
+        # df: apple 1, banana 2, cherry 2, durian 1; N=3
+        idf = {t: math.log((1 + 3) / (1 + d)) + 1
+               for t, d in {"apple": 1, "banana": 2,
+                            "cherry": 2, "durian": 1}.items()}
+        top1 = out[(out.doc_id == 1) & (out["rank"] == 1)].iloc[0]
+        assert top1.term == "apple"
+        assert abs(top1.tfidf - round(2 * idf["apple"], 6)) < 1e-9
+        # doc 2: banana vs cherry have identical tf and df -> tie
+        # broken by term asc
+        d2 = out[out.doc_id == 2].sort_values("rank")
+        assert list(d2.term) == ["banana", "cherry"]
+        d3 = out[(out.doc_id == 3) & (out["rank"] == 1)].iloc[0]
+        # durian (tf 2, df 1) outscores cherry (tf 2, df 2)
+        assert d3.term == "durian"
+        assert abs(d3.tfidf - round(2 * idf["durian"], 6)) < 1e-9
+
+    def test_deterministic_and_k_bound(self, spark):
+        from pdfextraction_spark.functions.repetition import tfidf_topk
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        a = tfidf_topk(docs, k=3).toPandas() \
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        b = tfidf_topk(docs.repartition(7), k=3).toPandas() \
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        assert a.equals(b)
+        assert (a.groupby("doc_id")["rank"].count() <= 3).all()
+
+
+class TestDatasetSplit:
+    def test_proportions_and_stability(self, spark):
+        from pyspark.sql import functions as F
+
+        from pdfextraction_spark.functions.sampling import dataset_split
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet")
+        out = dataset_split(docs, train=0.8, val=0.1).toPandas()
+        frac = out.split.value_counts(normalize=True)
+        assert abs(frac["train"] - 0.8) < 0.06
+        assert abs(frac.get("val", 0) - 0.1) < 0.05
+        assert abs(frac.get("test", 0) - 0.1) < 0.05
+        # content stability: the assignment of a doc must not change
+        # when the corpus around it changes (anti-contamination)
+        sub = dataset_split(
+            docs.filter(F.col("doc_id") % 3 == 0), train=0.8, val=0.1
+        ).toPandas().set_index("doc_id").split
+        full = out.set_index("doc_id").split
+        assert (full.loc[sub.index] == sub).all()
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from pdfextraction_spark.functions.sampling import dataset_split
+
+        docs = spark.range(3).withColumnRenamed("id", "doc_id")
+        with _pytest.raises(ValueError):
+            dataset_split(docs, train=0.0)
+        with _pytest.raises(ValueError):
+            dataset_split(docs, train=0.8, val=0.3)
+
+
+class TestLengthQuantiles:
+    def test_matches_numpy_r7(self, spark):
+        import numpy as np
+
+        from pdfextraction_spark.functions.repetition import (
+            corpus_length_quantiles,
+        )
+
+        rows = [(i, "x " * (i % 17 + 1), "en" if i % 2 else "de")
+                for i in range(60)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string")
+        out = corpus_length_quantiles(docs).toPandas() \
+            .set_index("stratum")
+        for lang in ("en", "de"):
+            chars = np.array([len(t) for _, t, lg in rows
+                              if lg == lang])
+            toks = np.array(
+                [len(t.strip().split()) for _, t, lg in rows
+                 if lg == lang])
+            assert out.loc[lang, "n_docs"] == len(chars)
+            for p in (25, 50, 75, 90):
+                # numpy default interpolation is R-7 — the same
+                # convention Spark percentile / DuckDB quantile_cont use
+                assert abs(out.loc[lang, f"p{p}_chars"]
+                           - round(float(np.percentile(chars, p)), 4)) \
+                    < 1e-9
+                assert abs(out.loc[lang, f"p{p}_tokens"]
+                           - round(float(np.percentile(toks, p)), 4)) \
+                    < 1e-9
