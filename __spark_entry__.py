@@ -965,6 +965,21 @@ def q_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs over winnowing fingerprints —
+    the quote/boilerplate-subset detector symmetric Jaccard dedup
+    misses (a short doc quoted inside a long one has a tiny union
+    ratio but containment ~1). Portable md5 family; the oracle
+    re-derives the whole chain from the shared winnow fragment."""
+    from pdfextraction_spark.functions.dedup import (
+        winnow_containment_pairs,
+    )
+
+    return winnow_containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.3
+    )
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 TF-IDF keywords (smooth log idf) — the
     keyword-extraction primitive of corpus analytics. TF and DF are
@@ -1085,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "curation_funnel": q_curation_funnel,
         "curation_funnel_v2": q_curation_funnel_v2,
+        "winnow_containment": q_winnow_containment,
         "tfidf_topk": q_tfidf_topk,
         "dataset_split": q_dataset_split,
         "length_quantiles": q_length_quantiles,
@@ -1093,6 +1109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pdfextraction_spark.oracle import portable_sql as P
+
     return {
         "sessionize_events": f"""
             WITH g AS (
@@ -1251,29 +1269,7 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
         """,
-        "winnow_fingerprints": """
-            WITH g AS (
-              SELECT doc_id, lower(text) AS t,
-                     length(text) - 7 AS n_g
-              FROM documents
-            ), sel AS (
-              SELECT doc_id,
-                CASE WHEN n_g <= 0 THEN []
-                     WHEN n_g <= 4 THEN
-                       [list_min([substring(md5(substring(t, i, 8)), 1, 16)
-                                  for i in generate_series(1, n_g)])]
-                     ELSE
-                       [list_min([substring(md5(substring(t, i, 8)), 1, 16)
-                                  for i in generate_series(j, j + 3)])
-                        for j in generate_series(1, n_g - 3)]
-                END AS fps
-              FROM g
-            )
-            SELECT doc_id,
-                   array_to_string(list_sort(list_distinct(fps)), ',') AS fingerprints,
-                   CAST(len(list_distinct(fps)) AS BIGINT) AS n_fps
-            FROM sel
-        """,
+        "winnow_fingerprints": P.winnow_fingerprints_sql(),
         "ngram_jaccard": """
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
@@ -1391,6 +1387,7 @@ def _portable_oracle_sql() -> dict[str, str]:
                                          capacity=128, n_shards=8),
         "curation_funnel": _curation_funnel_sql(),
         "curation_funnel_v2": _curation_funnel_sql(near_dup=True),
+        "winnow_containment": P.winnow_containment_sql(threshold=0.3),
         "tfidf_topk": P.tfidf_topk_sql(k=5),
         "dataset_split": P.dataset_split_sql(train=0.8, val=0.1),
         "length_quantiles": P.corpus_length_quantiles_sql(),

@@ -583,3 +583,90 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
         )
         .distinct()
     )
+
+
+def winnow_containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 8,
+    window: int = 4,
+    max_fp_df: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fast: bool = False,
+) -> DataFrame:
+    """ASYMMETRIC containment detection over winnowing fingerprints
+    (Schleimer et al., SIGMOD 2003): containment(A in B) =
+    |fp(A) ∩ fp(B)| / |fp(A)| — near 1 when A's content appears
+    inside B. Jaccard-family near-dup ops MISS this case (a short doc
+    quoted inside a much longer one has a tiny union ratio);
+    containment is the quote/boilerplate-subset/plagiarism detector a
+    curation pipeline runs alongside symmetric dedup.
+
+    Output: (inner_id, outer_id, containment) ordered pairs with
+    containment >= threshold — inner is the (partially) contained
+    doc; both directions of a pair are reported when both clear the
+    threshold (two near-identical docs contain each other).
+
+    Scale shape: one fingerprint explode, one hash aggregation for
+    per-fp document frequency, one fp-keyed equi-join for candidate
+    pairs (the ngram_jaccard stoplist stance: fps with df >
+    ``max_fp_df`` — shared boilerplate — are excluded from candidate
+    GENERATION only, and the exact intersection is restored from
+    bounded per-doc hot-fp arrays, so the reported containment stays
+    exact for every surfaced pair). ``fast=True`` switches to the
+    xxhash64 fingerprint family (production); the md5 family is what
+    the DuckDB oracle re-derives."""
+    from .text import winnowed
+
+    base = winnowed(
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.col(text_col).alias("text")),
+        k=k, window=window, fast=fast, out_col="_fps",
+    ).select("doc_id", "_fps").filter(F.size("_fps") > 0)
+    fps = base.select("doc_id", F.explode("_fps").alias("fp"))
+    fp_df = fps.groupBy("fp").agg(F.count("*").alias("fp_df"))
+    tagged = fps.join(fp_df, "fp")
+    cold = tagged.filter(F.col("fp_df") <= max_fp_df)
+    hot = (
+        tagged.filter(F.col("fp_df") > max_fp_df)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("fp")).alias("hot_fps"))
+    )
+    sizes = base.select(
+        "doc_id", F.size("_fps").cast("long").alias("n_fps")
+    )
+    side_a = cold.select(F.col("doc_id").alias("inner_id"),
+                         "fp")
+    side_b = cold.select(F.col("doc_id").alias("outer_id"), "fp")
+    shared = (
+        side_a.join(side_b, "fp")
+        .filter(F.col("inner_id") != F.col("outer_id"))
+        .groupBy("inner_id", "outer_id")
+        .agg(F.count("*").alias("shared_cold"))
+    )
+    empty = F.array().cast(
+        "array<bigint>" if fast else "array<string>")
+    ha = hot.select(F.col("doc_id").alias("inner_id"),
+                    F.col("hot_fps").alias("hot_a"))
+    hb = hot.select(F.col("doc_id").alias("outer_id"),
+                    F.col("hot_fps").alias("hot_b"))
+    scored = (
+        shared.join(ha, "inner_id", "left")
+        .join(hb, "outer_id", "left")
+        .join(sizes.withColumnRenamed("doc_id", "inner_id"), "inner_id")
+        .withColumn(
+            "shared_hot",
+            F.size(F.array_intersect(
+                F.coalesce("hot_a", empty), F.coalesce("hot_b", empty)
+            )).cast("long"),
+        )
+        .select(
+            "inner_id", "outer_id",
+            F.round(
+                (F.col("shared_cold") + F.col("shared_hot"))
+                / F.col("n_fps"), 6,
+            ).alias("containment"),
+        )
+    )
+    return scored.filter(F.col("containment") >= threshold)

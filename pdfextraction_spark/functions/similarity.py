@@ -966,13 +966,15 @@ def ivf_topk(
     result is a bounded n_centroids x dim collect; vectors never leave
     the cluster. Recall measured vs brute force in tests.
 
-    ``vectorized=True`` (production): corpus-side assignment runs as an
-    Arrow-batch numpy matmul (np_centroid_assign_udf) instead of the
-    literal-array column expressions — same rounded-6dp/first-wins
-    assignment (equality pinned in tests), but the codebook lives in
-    the UDF closure, so the plan stays small and n_centroids can grow
-    to IVF-realistic sizes (thousands); the oracle-exact expression
-    form remains the default for the driver query.
+    ``vectorized``: corpus-side assignment as an Arrow-batch numpy
+    matmul (np_centroid_assign_udf) instead of the literal-array
+    column expressions — same rounded-6dp/first-wins assignment
+    (equality pinned in tests), but the codebook lives in the UDF
+    closure, so the plan stays small and n_centroids can grow to
+    IVF-realistic sizes (thousands). The default ``None`` picks the
+    path automatically: expression below IVF_EXPR_CENTROID_MAX
+    centroids (oracle-exact, what the driver query runs at 16),
+    numpy above it — callers never need to know the planning wall.
 
     Index-build vs query: centroid training is the BUILD step a
     production deployment runs once and reuses across queries — call

@@ -836,6 +836,86 @@ def pq_adc_topk_sql(table: str = "embeddings", m: int = 8, k_cent: int = 16,
     """
 
 
+def _winnow_fps_ctes(table: str, prefix: str = "") -> str:
+    """CTE chain ending in ``{prefix}wsel(doc_id, fps)`` — the
+    portable winnowing fingerprint derivation (char 8-grams of
+    lower(text), window-4 minima, md5-prefix-16 hashes), one home for
+    the chain the green winnow_fingerprints oracle checks so
+    containment and fingerprint oracles can never desynchronize."""
+    p = prefix
+    return f"""{p}wg AS (
+          SELECT doc_id, lower(text) AS t,
+                 length(text) - 7 AS n_g
+          FROM {table}
+        ), {p}wsel AS (
+          SELECT doc_id,
+            CASE WHEN n_g <= 0 THEN []
+                 WHEN n_g <= 4 THEN
+                   [list_min([substring(md5(substring(t, i, 8)), 1, 16)
+                              for i in generate_series(1, n_g)])]
+                 ELSE
+                   [list_min([substring(md5(substring(t, i, 8)), 1, 16)
+                              for i in generate_series(j, j + 3)])
+                    for j in generate_series(1, n_g - 3)]
+            END AS fps
+          FROM {p}wg
+        )"""
+
+
+def winnow_fingerprints_sql(table: str = "documents") -> str:
+    """Mirror of text.winnowed (portable md5 family): sorted distinct
+    fingerprints comma-joined + count, one row per doc (zero-fp docs
+    keep an empty string)."""
+    return f"""
+        WITH {_winnow_fps_ctes(table)}
+        SELECT doc_id,
+               array_to_string(list_sort(list_distinct(fps)), ',')
+                 AS fingerprints,
+               CAST(len(list_distinct(fps)) AS BIGINT) AS n_fps
+        FROM wsel
+    """
+
+
+def winnow_containment_sql(table: str = "documents",
+                           threshold: float = 0.5,
+                           max_fp_df: int = 1000) -> str:
+    """Mirror of dedup.winnow_containment_pairs: containment(A in B)
+    = |fp(A) ∩ fp(B)| / |fp(A)| over the shared winnow-fingerprint
+    chain; candidates from cold-fp collisions only, exact
+    intersection restored from per-doc hot-fp lists."""
+    score = ("round((s.shared_cold + coalesce(len(list_intersect("
+             "ha.hot_fps, hb.hot_fps)), 0)) * 1.0 / z.n_fps, 6)")
+    return f"""
+        WITH {_winnow_fps_ctes(table)}, wfp AS (
+          SELECT doc_id, unnest(list_distinct(fps)) AS fp
+          FROM wsel WHERE len(list_distinct(fps)) > 0
+        ), fdf AS (
+          SELECT fp, COUNT(*) AS fp_df FROM wfp GROUP BY fp
+        ), cold AS (
+          SELECT w.doc_id, w.fp
+          FROM wfp w JOIN fdf USING (fp) WHERE fdf.fp_df <= {max_fp_df}
+        ), hot AS (
+          SELECT w.doc_id, list(w.fp ORDER BY w.fp) AS hot_fps
+          FROM wfp w JOIN fdf USING (fp) WHERE fdf.fp_df > {max_fp_df}
+          GROUP BY w.doc_id
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n_fps FROM wfp GROUP BY doc_id
+        ), shared AS (
+          SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+                 COUNT(*) AS shared_cold
+          FROM cold a JOIN cold b ON a.fp = b.fp
+                                 AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT inner_id, outer_id, {score} AS containment
+        FROM shared s
+        LEFT JOIN hot ha ON ha.doc_id = s.inner_id
+        LEFT JOIN hot hb ON hb.doc_id = s.outer_id
+        JOIN sizes z ON z.doc_id = s.inner_id
+        WHERE {score} >= {threshold}
+    """
+
+
 def tfidf_topk_sql(table: str = "documents", k: int = 5) -> str:
     """Mirror of repetition.tfidf_topk: whitespace terms of
     lower(trim(text)), TF x smooth-log IDF (ln((1+N)/(1+df)) + 1)

@@ -701,3 +701,85 @@ class TestPQ:
                           n_probe=2)
         plan2 = expr._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan2
+
+
+@pytest.mark.slow
+class TestContainment:
+    def _docs(self, spark):
+        rng = np.random.default_rng(23)
+        vocab = [f"tok{i}" for i in range(300)]
+        long_doc = " ".join(rng.choice(vocab, size=160))
+        # doc 1 is a 40-token excerpt of the 160-token doc 2 with a
+        # tiny unique tail: containment(1 in 2) ~ 1 while the reverse
+        # direction is ~ the excerpt's quarter share of doc 2
+        words = long_doc.split()
+        quote = " ".join(words[20:60]) + " uniq1 uniq2"
+        other = " ".join(rng.choice(vocab, size=60))
+        return spark.createDataFrame(
+            [(1, quote), (2, long_doc), (3, other)],
+            "doc_id long, text string",
+        )
+
+    def test_quote_containment_detected(self, spark):
+        out = {
+            (r.inner_id, r.outer_id): r.containment
+            for r in D.winnow_containment_pairs(
+                self._docs(spark), threshold=0.5
+            ).collect()
+        }
+        assert out.get((1, 2), 0) >= 0.8      # the excerpt is contained
+        assert (2, 1) not in out              # not symmetric
+        assert not any(3 in p for p in out)   # unrelated doc clean
+
+    def test_duckdb_parity(self, spark):
+        import duckdb
+
+        from pdfextraction_spark.oracle import portable_sql as P
+
+        docs = self._docs(spark)
+        got = sorted(
+            (r.inner_id, r.outer_id, r.containment)
+            for r in D.winnow_containment_pairs(
+                docs, threshold=0.1
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        want = sorted(
+            map(tuple,
+                con.execute(
+                    P.winnow_containment_sql(threshold=0.1)
+                ).fetchall())
+        )
+        assert got == want
+
+    def test_fast_family_finds_the_same_pair(self, spark):
+        got = {
+            (r.inner_id, r.outer_id)
+            for r in D.winnow_containment_pairs(
+                self._docs(spark), threshold=0.5, fast=True
+            ).collect()
+        }
+        assert (1, 2) in got
+
+    def test_hot_fp_stoplist_keeps_exact_containment(self, spark):
+        """With max_fp_df=1 every shared fp is 'hot': candidates can
+        only come from cold collisions, so pairs sharing ONLY hot fps
+        vanish — but any pair that still surfaces must report the
+        SAME exact containment as the unstoplisted run."""
+        docs = self._docs(spark)
+        base = {
+            (r.inner_id, r.outer_id): r.containment
+            for r in D.winnow_containment_pairs(
+                docs, threshold=0.1
+            ).collect()
+        }
+        capped = {
+            (r.inner_id, r.outer_id): r.containment
+            for r in D.winnow_containment_pairs(
+                docs, threshold=0.1, max_fp_df=2
+            ).collect()
+        }
+        assert set(capped) <= set(base)
+        for pair, c in capped.items():
+            assert c == base[pair]
