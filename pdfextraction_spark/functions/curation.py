@@ -63,14 +63,35 @@ def curation_funnel_stages(
     survivors = gated.join(canon, "doc_id", "semi")
     stages = {"gated": gated, "survivors": survivors}
     if near_dup:
+        # the pair list is consumed by three downstream plans (member
+        # extraction, component edges both directions, and nothing is
+        # cached by default) — materialize it once; near-dup pairs
+        # are a sliver of the corpus, so the checkpoint is bounded
         pairs = minhash_lsh_pairs(
             survivors, threshold=nd_threshold, portable=portable
-        ).select("id_a", "id_b")
-        scored = survivors.select("doc_id", quality.alias("__q"))
-        reps = cluster_representatives(
-            scored, pairs, score_col="__q"
-        ).filter("is_representative").select("doc_id")
-        survivors = survivors.join(reps, "doc_id", "semi")
+        ).select("id_a", "id_b").localCheckpoint()
+        # components run ONLY over docs that appear in a pair: every
+        # other survivor is trivially its own representative, so the
+        # iterative label-propagation loop joins subgraph-sized label
+        # tables (the few % of a corpus that near-dups), never the
+        # full corpus — the kept set is provably identical, and the
+        # SQL oracle's full-corpus closure agrees because singleton
+        # closures are no-ops
+        members = (
+            pairs.select(F.col("id_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        scored = (
+            survivors.join(members, "doc_id", "semi")
+            .select("doc_id", quality.alias("__q"))
+        )
+        drop = (
+            cluster_representatives(scored, pairs, score_col="__q")
+            .filter(~F.col("is_representative"))
+            .select("doc_id")
+        )
+        survivors = survivors.join(drop, "doc_id", "anti")
         stages["nd_kept"] = survivors
     calm = (
         ngram_repetition_stats(survivors, top_ns=(2,), dup_ns=())

@@ -37,16 +37,35 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
 
     nodes: one column ``id_col`` (isolated nodes keep their own id as
     component). edges: (id_a, id_b) undirected pairs."""
+    # materialize the edge list once: it is consumed by EVERY
+    # propagation iteration, and without the lineage cut each round
+    # would re-derive the pair list's whole upstream plan (for
+    # minhash-LSH edges that is the full sketch/band/verify chain —
+    # measured ~2x the funnel's wall before the cut). The edge list
+    # is the near-dup pair set: tiny relative to the corpus.
     und = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
+        .localCheckpoint()
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
     ).localCheckpoint()
+
+    def _label_sum(df: DataFrame):
+        # decimal(38,0) sum: overflow-safe for any realistic id space
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    # labels are per-node monotonically non-increasing, so the total
+    # label sum strictly decreases iff ANY label changed — one reduce
+    # per iteration replaces the old two-table join + count
+    # convergence probe
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         # neighbor minimum: one shuffle join (edges x labels) + one
         # grouped min — both hash-partial, fixed-width keys
@@ -64,17 +83,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                 ).alias("component"),
             )
         )
-        new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.localCheckpoint()
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         # exhausting max_iter without convergence means the labels are
         # WRONG for some component (diameter > max_iter) — failing
