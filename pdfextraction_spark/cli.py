@@ -157,8 +157,9 @@ def main(argv=None) -> int:
     c.add_argument("--near-dup", action="store_true",
                    help="insert the minhash-LSH near-dup "
                         "canonicalization stage (keep-best-quality)")
-    c.add_argument("--nd-threshold", type=float, default=0.5,
-                   help="Jaccard threshold for the near-dup stage")
+    c.add_argument("--nd-threshold", type=float, default=0.2,
+                   help="Jaccard threshold for the near-dup stage "
+                        "(0.2 = the library/driver-query default)")
     c.add_argument("--mode", default="error",
                    help="parquet write mode (error|overwrite)")
     c.set_defaults(fn=_cmd_curate)

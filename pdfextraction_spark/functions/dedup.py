@@ -624,7 +624,16 @@ def winnow_containment_pairs(
                   F.col(text_col).alias("text")),
         k=k, window=window, fast=fast, out_col="_fps",
     ).select("doc_id", "_fps").filter(F.size("_fps") > 0)
-    fps = base.select("doc_id", F.explode("_fps").alias("fp"))
+    # materialize the exploded fingerprint rows ONCE: six downstream
+    # plans consume them (df-count agg, tagged probe, both sides of
+    # the cold self-join, hot arrays, per-doc sizes) and the winnow
+    # HOF chain is the expensive part — the same lineage-cut stance
+    # as the funnel's pair list. The fingerprint table is the
+    # standard persisted artifact of a winnowing index (~2/(w+1) of
+    # corpus chars).
+    fps = base.select(
+        "doc_id", F.explode("_fps").alias("fp")
+    ).localCheckpoint()
     fp_df = fps.groupBy("fp").agg(F.count("*").alias("fp_df"))
     tagged = fps.join(fp_df, "fp")
     cold = tagged.filter(F.col("fp_df") <= max_fp_df)
@@ -633,8 +642,11 @@ def winnow_containment_pairs(
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list("fp")).alias("hot_fps"))
     )
-    sizes = base.select(
-        "doc_id", F.size("_fps").cast("long").alias("n_fps")
+    # fps is distinct per doc (winnowed dedups), so the row count IS
+    # |fp(doc)| — derived from the checkpointed rows, not a second
+    # pass over the winnow chain
+    sizes = fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fps")
     )
     side_a = cold.select(F.col("doc_id").alias("inner_id"),
                          "fp")

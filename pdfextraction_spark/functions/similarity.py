@@ -253,7 +253,7 @@ def pq_train_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lloyd_iters: int = 0,
-    vectorized: bool = False,
+    vectorized: Optional[bool] = None,
 ) -> List[List[List[float]]]:
     """Deterministic PQ codebooks: the strided seed sample's
     subvectors (same seeding discipline as train_ivf_centroids —
@@ -268,6 +268,7 @@ def pq_train_codebooks(
     ``lloyd_iters=0`` is the oracle-exact seed config the driver
     checks. Returns m codebooks of k centroids of dim/m floats."""
     d_sub = dim // m
+    vec = _resolve_vectorized(vectorized, k)
     seeds = _strided_seed_vectors(embeddings, k, id_col, vec_col)
     books = [
         [seed[j * d_sub:(j + 1) * d_sub] for seed in seeds]
@@ -275,7 +276,7 @@ def pq_train_codebooks(
     ]
     for _ in range(lloyd_iters):
         books = _pq_lloyd_step(embeddings, vec_col, books,
-                               vectorized=vectorized)
+                               vectorized=vec)
     return books
 
 
@@ -372,7 +373,7 @@ def pq_encode(
     codebooks: List[List[List[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    vectorized: bool = False,
+    vectorized: Optional[bool] = None,
     keep: Sequence[str] = (),
 ) -> DataFrame:
     """(vec_id, keep..., codes array<int>): per subspace, the 1-based
@@ -384,9 +385,13 @@ def pq_encode(
     ``vectorized=True`` (production): Arrow-batch numpy assignment
     (np_pq_encode_udf) instead of literal-array column expressions —
     same codes (equality pinned in tests), but the plan stays small
-    so k can grow to the PQ-standard 256. The oracle-exact expression
-    form remains the default for the driver query."""
+    so k can grow to the PQ-standard 256. ``None`` auto-selects on
+    the codebook size k (the m x k literal plan is the wall), so a
+    k=256 codebook never silently takes the expression path; the
+    oracle-exact expression form stays the default at the driver's
+    k=16."""
     m = len(codebooks)
+    vectorized = _resolve_vectorized(vectorized, len(codebooks[0]))
     if vectorized:
         return embeddings.select(
             F.col(id_col).alias("vec_id"),
@@ -475,7 +480,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    vectorized: bool = False,
+    vectorized: Optional[bool] = None,
 ) -> DataFrame:
     """PQ search by asymmetric distance: corpus vectors are REDUCED TO
     CODES (pq_encode — at store scale only the codes are persisted);
@@ -502,13 +507,7 @@ def pq_adc_topk(
         .select("query_id", "vec_id",
                 _adc_score().alias("approx_dist_micros"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("approx_dist_micros"), F.asc("vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _adc_rank(scored, k)
 
 
 def _adc_query_tables(
@@ -570,6 +569,93 @@ def _adc_score():
     )
 
 
+def _adc_rank(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query ADC top-k: rank 1 = smallest integer distance, ties
+    by vec_id — the single home for the rank contract both pq_adc_topk
+    and ivfpq_topk (and their green oracles) pin."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist_micros"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _coarse_assigned(
+    df: DataFrame,
+    centroids: List[List[float]],
+    vectorized: bool,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vec_id, v array<double>, list_id) — corpus-side coarse
+    assignment to the nearest centroid by rounded-6dp cosine,
+    first-wins ties; single home for the assignment both IVF and
+    IVF-PQ search paths (and their green oracles) pin. Expression
+    path below the centroid wall, Arrow/numpy matmul above it."""
+    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+    if vectorized:
+        return base.select(
+            "vec_id",
+            _as_double(F.col(vec_col)).alias("v"),
+            np_centroid_assign_udf(centroids)(F.col(vec_col))
+            .alias("list_id"),
+        )
+    return _staged_assign(base, vec_col, centroids, keep=("vec_id",))
+
+
+def _probe_lists(
+    queries: DataFrame,
+    centroids: List[List[float]],
+    n_probe: int,
+    vectorized: bool,
+    query_id_col: str,
+    vec_col: str,
+    keep_qv: bool = False,
+) -> DataFrame:
+    """(query_id[, qv], __probes array<int>) — each query's n_probe
+    nearest coarse lists, best-first, ties by smaller list id; the
+    single home for the probe tie/rounding policy both IVF and IVF-PQ
+    search paths (and their green oracles) pin. The expression path
+    stages qv and the score array as bound columns (the probe
+    expression consumes the scores once, but staging keeps the
+    n_centroids x dim literal tree out of the explode's parent)."""
+    if vectorized:
+        cols = [F.col(query_id_col).alias("query_id")]
+        if keep_qv:
+            cols.append(_as_double(F.col(vec_col)).alias("qv"))
+        return queries.select(
+            *cols,
+            np_probe_lists_udf(centroids, n_probe)(F.col(vec_col))
+            .alias("__probes"),
+        )
+    q0 = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn(
+        "__qs",
+        _centroid_scores(F.col("qv"), centroids, assume_double=True),
+    )
+    probes = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    F.col("__qs"),
+                    F.sequence(F.lit(1), F.lit(len(centroids))),
+                    lambda s, i: F.struct((-s).alias("neg"),
+                                          i.alias("i")),
+                )
+            ),
+            lambda st: st["i"],
+        ),
+        1,
+        n_probe,
+    )
+    out = ["query_id"] + (["qv"] if keep_qv else []) + ["__probes"]
+    return q0.withColumn("__probes", probes).select(*out)
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -612,56 +698,19 @@ def ivfpq_topk(
             lloyd_iters=lloyd_iters,
             vectorized=_resolve_vectorized(vectorized, n_centroids),
         )
-    vec = _resolve_vectorized(vectorized, len(centroids))
-    base = embeddings.select(F.col(id_col).alias("vec_id"),
-                             F.col(vec_col))
-    if vec:
-        assigned = base.select(
-            "vec_id",
-            F.col(vec_col),
-            np_centroid_assign_udf(centroids)(F.col(vec_col))
-            .alias("list_id"),
-        )
-    else:
-        assigned = _staged_assign(
-            base, vec_col, centroids, keep=("vec_id",)
-        ).select(
-            "vec_id", F.col("v").alias(vec_col), "list_id"
-        )
-    coded = pq_encode(assigned, codebooks, "vec_id", vec_col,
+    # the dial considers BOTH literal-plan walls: the coarse centroid
+    # count (assignment/probe expressions) and the PQ codebook size k
+    # (the m x k encode expressions) — a k=256 codebook must not
+    # silently take the expression encode behind a small coarse count
+    vec = _resolve_vectorized(
+        vectorized, max(len(centroids), len(codebooks[0]))
+    )
+    assigned = _coarse_assigned(embeddings, centroids, vec,
+                                id_col, vec_col)
+    coded = pq_encode(assigned, codebooks, "vec_id", "v",
                       vectorized=vec, keep=("list_id",))
-    if vec:
-        probes = queries.select(
-            F.col(query_id_col).alias("query_id"),
-            np_probe_lists_udf(centroids, n_probe)(F.col(vec_col))
-            .alias("__probes"),
-        )
-    else:
-        q0 = queries.select(
-            F.col(query_id_col).alias("query_id"),
-            _as_double(F.col(vec_col)).alias("qv"),
-        ).withColumn(
-            "__qs",
-            _centroid_scores(F.col("qv"), centroids, assume_double=True),
-        )
-        probes = q0.withColumn(
-            "__probes",
-            F.slice(
-                F.transform(
-                    F.array_sort(
-                        F.zip_with(
-                            F.col("__qs"),
-                            F.sequence(F.lit(1), F.lit(len(centroids))),
-                            lambda s, i: F.struct((-s).alias("neg"),
-                                                  i.alias("i")),
-                        )
-                    ),
-                    lambda st: st["i"],
-                ),
-                1,
-                n_probe,
-            ),
-        )
+    probes = _probe_lists(queries, centroids, n_probe, vec,
+                          query_id_col, vec_col)
     probe_rows = probes.select(
         "query_id", F.explode("__probes").alias("list_id")
     )
@@ -673,13 +722,7 @@ def ivfpq_topk(
         .select("query_id", "vec_id",
                 _adc_score().alias("approx_dist_micros"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("approx_dist_micros"), F.asc("vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _adc_rank(scored, k)
 
 
 def random_hyperplanes(dim: int, bits: int = 8, seed: int = 42) -> List[List[float]]:
@@ -990,53 +1033,10 @@ def ivf_topk(
     # vectorized=None switches to the numpy path without the caller
     # having to know the threshold (What's-wrong #3, round 3)
     vectorized = _resolve_vectorized(vectorized, len(centroids))
-    if vectorized:
-        e = embeddings.select(
-            F.col(id_col).alias("vec_id"),
-            _as_double(F.col(vec_col)).alias("v"),
-            np_centroid_assign_udf(centroids)(F.col(vec_col))
-            .alias("list_id"),
-        )
-    else:
-        e = _staged_assign(
-            embeddings.select(F.col(id_col).alias("vec_id"),
-                              F.col(vec_col)),
-            vec_col, centroids, keep=("vec_id",),
-        )
-    # query side: stage qv and the score array as bound columns (the
-    # probe expression consumes the scores once, but staging keeps the
-    # n_centroids x dim literal tree out of the explode's parent)
-    if vectorized:
-        q0 = queries.select(
-            F.col(query_id_col).alias("query_id"),
-            _as_double(F.col(vec_col)).alias("qv"),
-            np_probe_lists_udf(centroids, n_probe)(F.col(vec_col))
-            .alias("__probes"),
-        )
-    else:
-        q0 = queries.select(
-            F.col(query_id_col).alias("query_id"),
-            _as_double(F.col(vec_col)).alias("qv"),
-        ).withColumn(
-            "__qs",
-            _centroid_scores(F.col("qv"), centroids, assume_double=True),
-        )
-        probes = F.slice(
-            F.transform(
-                F.array_sort(
-                    F.zip_with(
-                        F.col("__qs"),
-                        F.sequence(F.lit(1), F.lit(len(centroids))),
-                        lambda s, i: F.struct((-s).alias("neg"),
-                                              i.alias("i")),
-                    )
-                ),
-                lambda st: st["i"],
-            ),
-            1,
-            n_probe,
-        )
-        q0 = q0.withColumn("__probes", probes)
+    e = _coarse_assigned(embeddings, centroids, vectorized,
+                         id_col, vec_col)
+    q0 = _probe_lists(queries, centroids, n_probe, vectorized,
+                      query_id_col, vec_col, keep_qv=True)
     q = q0.select(
         "query_id", "qv", F.explode(F.col("__probes")).alias("list_id")
     )

@@ -28,6 +28,7 @@ id per node (oracle/portable_sql.py style — exact, engine-portable).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import NumericType
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
@@ -54,6 +55,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
     ).localCheckpoint()
+    # convergence probe: labels are per-node monotonically
+    # non-increasing, so for NUMERIC ids the total label sum strictly
+    # decreases iff any label changed — one reduce per iteration.
+    # Non-numeric ids (string doc keys are legal: the representative
+    # pick is ordering-based on purpose) would cast to null and make
+    # the sum probe terminate after one round with WRONG components,
+    # so they keep the type-agnostic join-based probe.
+    numeric_ids = isinstance(
+        labels.schema["component"].dataType, NumericType
+    )
 
     def _label_sum(df: DataFrame):
         # decimal(38,0) sum: overflow-safe for any realistic id space
@@ -61,11 +72,17 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             F.sum(F.col("component").cast("decimal(38,0)"))
         ).collect()[0][0]
 
-    # labels are per-node monotonically non-increasing, so the total
-    # label sum strictly decreases iff ANY label changed — one reduce
-    # per iteration replaces the old two-table join + count
-    # convergence probe
-    prev_sum = _label_sum(labels)
+    def _changed(new: DataFrame, old: DataFrame) -> bool:
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    prev_sum = _label_sum(labels) if numeric_ids else None
     for _ in range(max_iter):
         # neighbor minimum: one shuffle join (edges x labels) + one
         # grouped min — both hash-partial, fixed-width keys
@@ -82,12 +99,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                     "component", F.coalesce("nbr_min", "component")
                 ).alias("component"),
             )
-        )
-        labels = new_labels.localCheckpoint()
-        cur_sum = _label_sum(labels)
-        if cur_sum == prev_sum:
+        ).localCheckpoint()
+        if numeric_ids:
+            cur_sum = _label_sum(new_labels)
+            converged = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            converged = not _changed(new_labels, labels)
+        labels = new_labels
+        if converged:
             break
-        prev_sum = cur_sum
     else:
         # exhausting max_iter without convergence means the labels are
         # WRONG for some component (diameter > max_iter) — failing

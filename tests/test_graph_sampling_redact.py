@@ -40,6 +40,25 @@ class TestConnectedComponents:
         }
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
 
+    def test_string_ids_chain(self, spark):
+        """STRING node ids (the representative pick is ordering-based
+        on purpose, so string keys are legal): the numeric label-sum
+        convergence probe casts strings to null — the type-aware
+        fallback must keep propagating past round 1 on a diameter-2
+        chain instead of silently splitting the component."""
+        nodes = spark.createDataFrame(
+            [(s,) for s in ("a", "b", "c", "x", "z")], "doc_id string"
+        )
+        edges = spark.createDataFrame(
+            [("b", "c"), ("a", "b")], "id_a string, id_b string"
+        )
+        got = {
+            r.node: r.component
+            for r in connected_components(nodes, edges).collect()
+        }
+        assert got == {"a": "a", "b": "a", "c": "a",
+                       "x": "x", "z": "z"}
+
     def test_long_chain_converges(self, spark):
         """A 12-node path graph (diameter 11) — the worst case for
         min-label propagation; must still converge within max_iter."""
