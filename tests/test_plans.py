@@ -166,3 +166,47 @@ class TestPlans:
         plan = _plan(pq_adc_topk(emb, queries, books, k=5))
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.slow
+class TestRound4Plans:
+    def test_dataset_split_zero_shuffle(self, spark):
+        """The split is a pure projection — no Exchange anywhere, so
+        Catalyst can push it under later joins/scans."""
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_dataset_split(spark, "/root/testdata/sf0.001"))
+        assert "Exchange" not in plan
+        assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+    def test_tfidf_term_join_unhinted(self, spark):
+        """TF x DF joins on term: a web vocabulary is too large to
+        FORCE-broadcast, so the code must not pin a broadcast hint —
+        the optimizer stays free to pick SMJ at corpus scale (at
+        fixture scale AQE legitimately broadcasts the tiny DF side,
+        so asserting the physical join kind here would fight the
+        optimizer; the absence of a ResolvedHint is the invariant)."""
+        import __spark_entry__ as em
+
+        df = em.q_tfidf_topk(spark, "/root/testdata/sf0.001")
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed
+        assert "Join" in _plan(df)
+
+    def test_length_quantiles_pruned_scan(self, spark):
+        """Quantile summary reads only (lang, text) — the scan must
+        not drag the other document columns."""
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_length_quantiles(spark,
+                                           "/root/testdata/sf0.001"))
+        assert "ReadSchema: struct<text:string,lang:string>" in plan
+
+    def test_ivfpq_broadcasts_probe_tables(self, spark):
+        """IVF-PQ joins the coded corpus to the (probe x ADC-table)
+        side by list_id — the bounded query side must broadcast; the
+        corpus never shuffles for the candidate join."""
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_ann_ivfpq(spark, "/root/testdata/sf0.001"))
+        assert "BroadcastHashJoin" in plan

@@ -301,3 +301,73 @@ def test_streaming_dedup_within_watermark_bounded_state(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(out).toPandas()
     assert sorted(got.doc_id) == [1, 2, 4]
+
+
+@pytest.mark.slow
+def test_streaming_neardup_matches_batch_join(spark, tmp_path):
+    """Streaming near-dup screening vs a static corpus must emit the
+    EXACT matches the batch minhash_lsh_join finds — split the stream
+    across two files (maxFilesPerTrigger=1) so the equality covers
+    multiple micro-batches, each joined against the prebuilt corpus
+    index."""
+    import numpy as np
+    import pandas as pd
+
+    from pdfextraction_spark.functions.dedup import minhash_lsh_join
+    from pdfextraction_spark.streaming.neardup import (
+        stream_neardup_matches,
+    )
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(150)]
+    corpus_rows = []
+    for i in range(30):
+        corpus_rows.append((100 + i,
+                            " ".join(rng.choice(vocab, size=30))))
+    corpus_pdf = pd.DataFrame(corpus_rows, columns=["doc_id", "text"])
+    # stream docs: 0..9, where evens are near-copies of corpus docs
+    stream_rows = []
+    for i in range(10):
+        if i % 2 == 0:
+            base = corpus_rows[i][1].split()
+            base[3] = "mut"
+            stream_rows.append((i, " ".join(base)))
+        else:
+            stream_rows.append((i, " ".join(rng.choice(vocab, size=30))))
+    s_pdf = pd.DataFrame(stream_rows, columns=["doc_id", "text"])
+
+    src = str(tmp_path / "nsrc")
+    os.makedirs(src)
+    s_pdf.iloc[:5].to_parquet(os.path.join(src, "part-0.parquet"),
+                              index=False)
+    s_pdf.iloc[5:].to_parquet(os.path.join(src, "part-1.parquet"),
+                              index=False)
+
+    corpus = spark.createDataFrame(corpus_pdf)
+    collected = []
+
+    def sink(matches, batch_id):
+        collected.extend(
+            (r.left_id, r.right_id, r.jaccard)
+            for r in matches.collect()
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_neardup_matches(stream, corpus, sink, threshold=0.5)
+        .option("checkpointLocation", str(tmp_path / "nckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = minhash_lsh_join(
+        spark.createDataFrame(s_pdf), corpus, threshold=0.5
+    ).collect()
+    want = sorted((r.left_id, r.right_id, r.jaccard) for r in batch)
+    assert sorted(collected) == want
+    assert len(want) >= 5  # the planted near-copies are found
