@@ -965,6 +965,26 @@ def q_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions — which docs were
+    added / removed / changed between crawl snapshots, the question
+    an incremental pipeline asks before re-running anything. The two
+    snapshots are derived deterministically from the one sf table
+    (mod-splits + a ' v2' amendment); one full outer join on the id,
+    fingerprints via the shared normalized-md5 key."""
+    from pdfextraction_spark.functions.dedup import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 5)
+    new = docs.filter(F.col("doc_id") % 7 != 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
 def q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs over winnowing fingerprints —
     the quote/boilerplate-subset detector symmetric Jaccard dedup
@@ -1100,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "curation_funnel": q_curation_funnel,
         "curation_funnel_v2": q_curation_funnel_v2,
+        "corpus_diff": q_corpus_diff,
         "winnow_containment": q_winnow_containment,
         "tfidf_topk": q_tfidf_topk,
         "dataset_split": q_dataset_split,
@@ -1387,6 +1408,7 @@ def _portable_oracle_sql() -> dict[str, str]:
                                          capacity=128, n_shards=8),
         "curation_funnel": _curation_funnel_sql(),
         "curation_funnel_v2": _curation_funnel_sql(near_dup=True),
+        "corpus_diff": P.corpus_diff_sql(),
         "winnow_containment": P.winnow_containment_sql(threshold=0.3),
         "tfidf_topk": P.tfidf_topk_sql(k=5),
         "dataset_split": P.dataset_split_sql(train=0.8, val=0.1),

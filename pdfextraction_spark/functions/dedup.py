@@ -682,3 +682,45 @@ def winnow_containment_pairs(
         )
     )
     return scored.filter(F.col("containment") >= threshold)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the first question
+    an incremental pipeline asks before re-running anything: which
+    docs were ADDED, REMOVED, or CHANGED between crawl snapshots.
+    Output: (doc_id, status) for every doc whose state differs;
+    unchanged docs are omitted (at snapshot scale they are ~99% of
+    rows — emitting them would be the expensive no-op).
+
+    Comparison key is the whitespace-normalized md5 content
+    fingerprint (the exact_dedup/doc_fingerprint key — one home via
+    the same normalization), so a byte-identical re-crawl with
+    different surrounding whitespace is 'unchanged', not 'changed'.
+    Plan: one full outer join on the id — both sides shuffle once on
+    a fixed-width key; no other stage."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                            r"\s+", " ")
+    fp = F.md5(F.encode(norm, "UTF-8"))
+
+    def side(df: DataFrame, fp_name: str) -> DataFrame:
+        return df.select(F.col(id_col).alias("doc_id"),
+                         fp.alias(fp_name))
+
+    o = side(old, "fp_old")
+    n = side(new, "fp_new")
+    joined = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select("doc_id", "status")
+    )

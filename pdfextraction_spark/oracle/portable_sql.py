@@ -916,6 +916,36 @@ def winnow_containment_sql(table: str = "documents",
     """
 
 
+def corpus_diff_sql(table: str = "documents") -> str:
+    """Mirror of q_corpus_diff: old = docs minus id%11==5 (those are
+    'added' in new), new = docs minus id%7==3 ('removed') with
+    id%5==0 texts amended (' v2' suffix -> 'changed'); diff on the
+    normalized md5 fingerprint via one full outer join."""
+    norm = ("md5(regexp_replace(lower(trim({t})), '\\s+', ' ', 'g'))")
+    return f"""
+        WITH o AS (
+          SELECT doc_id, {norm.format(t="text")} AS fp_old
+          FROM {table} WHERE doc_id % 11 <> 5
+        ), n AS (
+          SELECT doc_id,
+                 {norm.format(
+                     t="CASE WHEN doc_id % 5 = 0 THEN text || ' v2' "
+                       "ELSE text END")} AS fp_new
+          FROM {table} WHERE doc_id % 7 <> 3
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.fp_old <> n.fp_new THEN 'changed'
+               END AS status
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
+                   WHEN n.doc_id IS NULL THEN 'removed'
+                   WHEN o.fp_old <> n.fp_new THEN 'changed'
+              END IS NOT NULL
+    """
+
+
 def tfidf_topk_sql(table: str = "documents", k: int = 5) -> str:
     """Mirror of repetition.tfidf_topk: whitespace terms of
     lower(trim(text)), TF x smooth-log IDF (ln((1+N)/(1+df)) + 1)

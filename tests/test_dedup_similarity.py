@@ -783,3 +783,22 @@ class TestContainment:
         assert set(capped) <= set(base)
         for pair, c in capped.items():
             assert c == base[pair]
+
+
+@pytest.mark.slow
+class TestCorpusDiff:
+    def test_statuses_and_normalized_unchanged(self, spark):
+        """Whitespace/case-mangled re-crawls are UNCHANGED (shared
+        normalized fingerprint); real edits are changed; one-sided
+        ids are added/removed; unchanged docs are omitted."""
+        old = spark.createDataFrame(
+            [(1, "a b c"), (2, "same text"), (3, "will vanish")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, "  A   b  C "), (2, "same text edited"), (4, "fresh")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.status
+               for r in D.corpus_diff(old, new).collect()}
+        assert got == {2: "changed", 3: "removed", 4: "added"}
