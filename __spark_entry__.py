@@ -965,6 +965,35 @@ def q_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stoplist made visible: shingles whose document frequency
+    exceeds the dial — the boilerplate a skewed corpus would
+    otherwise let explode the blocking self-join. max_df=4 exercises
+    the threshold on the sf fixture (its df distribution tops out at
+    7); production uses ~1000 on web corpora."""
+    from pdfextraction_spark.functions.dedup import hot_shingles
+
+    return hot_shingles(_t(spark, sf_dir, "documents"), max_df=4)
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication monitoring — the feed-health chart of a
+    crawl pipeline. The sf fixture has no exact dups, so the query
+    unions in whitespace-mangled copies of every 10th doc (offset
+    ids) to exercise the rate; the oracle mirrors the construction."""
+    from pdfextraction_spark.functions.dedup import dup_rate_by_source
+
+    docs = _t(spark, sf_dir, "documents")
+    mangled = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text",
+                    F.concat(F.lit("  "), F.upper(F.col("text")),
+                             F.lit("   ")))
+    )
+    return dup_rate_by_source(docs.unionByName(mangled))
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between two corpus versions — which docs were
     added / removed / changed between crawl snapshots, the question
@@ -1120,6 +1149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "curation_funnel": q_curation_funnel,
         "curation_funnel_v2": q_curation_funnel_v2,
+        "hot_shingles": q_hot_shingles,
+        "dup_rate_by_source": q_dup_rate_by_source,
         "corpus_diff": q_corpus_diff,
         "winnow_containment": q_winnow_containment,
         "tfidf_topk": q_tfidf_topk,
@@ -1408,6 +1439,8 @@ def _portable_oracle_sql() -> dict[str, str]:
                                          capacity=128, n_shards=8),
         "curation_funnel": _curation_funnel_sql(),
         "curation_funnel_v2": _curation_funnel_sql(near_dup=True),
+        "hot_shingles": P.hot_shingles_sql(max_df=4),
+        "dup_rate_by_source": P.dup_rate_by_source_sql(),
         "corpus_diff": P.corpus_diff_sql(),
         "winnow_containment": P.winnow_containment_sql(threshold=0.3),
         "tfidf_topk": P.tfidf_topk_sql(k=5),

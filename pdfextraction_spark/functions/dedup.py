@@ -724,3 +724,33 @@ def corpus_diff(
         .filter(F.col("status").isNotNull())
         .select("doc_id", "status")
     )
+
+
+def dup_rate_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source duplication report — the monitoring aggregate a
+    crawl pipeline charts per feed: (source, n_docs, n_unique,
+    dup_rate) where n_unique counts distinct normalized-md5 content
+    fingerprints (the exact_dedup key family) and dup_rate =
+    1 - n_unique/n_docs rounded to 6dp. One hash aggregation; the
+    shuffle key is the group column."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                            r"\s+", " ")
+    fp = F.md5(F.encode(norm, "UTF-8"))
+    return (
+        df.select(F.col(group_col).alias("source"), fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("fp").alias("n_unique"),
+        )
+        .select(
+            "source", "n_docs", "n_unique",
+            F.round(1 - F.col("n_unique") / F.col("n_docs"), 6)
+            .alias("dup_rate"),
+        )
+    )

@@ -916,6 +916,42 @@ def winnow_containment_sql(table: str = "documents",
     """
 
 
+def hot_shingles_sql(table: str = "documents", n: int = 3,
+                     max_df: int = 4) -> str:
+    """Mirror of dedup.hot_shingles: distinct shingles with document
+    frequency above max_df (the stoplist definition, shared shingle
+    chain)."""
+    return f"""
+        WITH {_shingle_cte(table, n)}
+        SELECT s AS sh FROM sh
+        GROUP BY s HAVING count(*) > {max_df}
+    """
+
+
+def dup_rate_by_source_sql(table: str = "documents") -> str:
+    """Mirror of q_dup_rate_by_source: the fixture union with
+    whitespace/case-mangled copies of every 10th doc, then per-source
+    distinct normalized-md5 fingerprint counts."""
+    return f"""
+        WITH all_docs AS (
+          SELECT source, text FROM {table}
+          UNION ALL
+          SELECT source, '  ' || upper(text) || '   '
+          FROM {table} WHERE doc_id % 10 = 0
+        ), f AS (
+          SELECT source,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fp
+          FROM all_docs
+        )
+        SELECT source, count(*) AS n_docs,
+               count(DISTINCT fp) AS n_unique,
+               round(1 - count(DISTINCT fp) * 1.0 / count(*), 6)
+                 AS dup_rate
+        FROM f GROUP BY source
+    """
+
+
 def corpus_diff_sql(table: str = "documents") -> str:
     """Mirror of q_corpus_diff: old = docs minus id%11==5 (those are
     'added' in new), new = docs minus id%7==3 ('removed') with

@@ -802,3 +802,17 @@ class TestCorpusDiff:
         got = {r.doc_id: r.status
                for r in D.corpus_diff(old, new).collect()}
         assert got == {2: "changed", 3: "removed", 4: "added"}
+
+    def test_dup_rate_by_source(self, spark):
+        """Two sources: s0 has 3 docs of which 2 share normalized
+        text (rate 1/3); s1 all unique (rate 0)."""
+        df = spark.createDataFrame(
+            [(1, "a b", "s0"), (2, "  A  B ", "s0"), (3, "c", "s0"),
+             (4, "d", "s1"), (5, "e", "s1")],
+            "doc_id long, text string, source string",
+        )
+        got = {r.source: r for r in
+               D.dup_rate_by_source(df).collect()}
+        assert got["s0"].n_docs == 3 and got["s0"].n_unique == 2
+        assert got["s0"].dup_rate == round(1 - 2 / 3, 6)
+        assert got["s1"].dup_rate == 0.0
