@@ -1064,6 +1064,23 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_length_quantiles(_t(spark, sf_dir, "documents"))
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): coarse
+    16-cluster assignment (lloyd_iters=0 strided seeds — the oracle
+    config), then within-cluster epsilon-ball pruning at cosine 0.6 —
+    a vector survives iff no smaller-id member of its own cluster is
+    that close. The embedding-space counterpart of the text near-dup
+    family; production refines centroids with Lloyd and dials
+    n_centroids ~ sqrt(n) so the within-cluster quadratic stays
+    bounded."""
+    from pdfextraction_spark.functions.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_centroids=16,
+        lloyd_iters=0,
+    )
+
+
 def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data gate: extraction -> language-ID +
     quality scoring on the EXTRACTED text -> filtered corpus rows."""
@@ -1156,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "dataset_split": q_dataset_split,
         "length_quantiles": q_length_quantiles,
+        "semantic_dedup": q_semantic_dedup,
         "training_filter": q_training_filter,
     }
 
@@ -1446,6 +1464,8 @@ def _portable_oracle_sql() -> dict[str, str]:
         "tfidf_topk": P.tfidf_topk_sql(k=5),
         "dataset_split": P.dataset_split_sql(train=0.8, val=0.1),
         "length_quantiles": P.corpus_length_quantiles_sql(),
+        "semantic_dedup": P.semantic_dedup_sql(n_centroids=16,
+                                               threshold=0.3),
     }
 
 

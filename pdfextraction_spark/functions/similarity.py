@@ -1119,3 +1119,89 @@ def lsh_bucket_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.6,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Optional[List[List[float]]] = None,
+    lloyd_iters: int = 0,
+    vectorized: Optional[bool] = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then
+    prune WITHIN each cluster any vector whose cosine similarity to a
+    lower-id cluster member reaches ``threshold``. Output one row per
+    input vector: (vec_id, list_id, is_kept).
+
+    Semantics vs the other dedup ops: cosine_near_pairs emits the pair
+    list; cluster_representatives keeps the best copy per TRANSITIVE
+    component. SemDeDup is the pairwise epsilon-ball prune the paper
+    runs at web scale — a vector is dropped iff SOME earlier (smaller
+    id) vector in its own cluster is within the ball; no transitive
+    closure, no global pair materialization.
+
+    Scale shape: the only shuffle is the self-join keyed on list_id,
+    so the quadratic term is sum(cluster_size^2) — production dials
+    n_centroids ~ sqrt(n) (the paper uses ~100k clusters for 10^9
+    LAION embeddings), keeping each cluster a few thousand vectors.
+    Assignment is the shared staged-expression / numpy-matmul pair
+    (auto-dialed above IVF_EXPR_CENTROID_MAX); cosines are rounded to
+    6dp so the DuckDB oracle reproduces the keep set bit-for-bit.
+    ``lloyd_iters=0`` (strided seeds) is the oracle config; production
+    refines with train_ivf_centroids.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_centroids=n_centroids, id_col=id_col,
+            vec_col=vec_col, lloyd_iters=lloyd_iters,
+            vectorized=vectorized,
+        )
+    vec = _resolve_vectorized(vectorized, len(centroids))
+    if vec:
+        assigned = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            _as_double(F.col(vec_col)).alias("v"),
+            np_centroid_assign_udf(centroids)(F.col(vec_col))
+            .alias("list_id"),
+        )
+    else:
+        assigned = _staged_assign(
+            embeddings.select(F.col(id_col).alias("vec_id"), vec_col),
+            vec_col, centroids, keep=("vec_id",),
+        )
+    # stage the norm once per vector; the pair expression is then one
+    # dot product + a division (the cosine_near_pairs discipline)
+    assigned = assigned.withColumn("n", _norm(F.col("v")))
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "list_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "list_id",
+    )
+    dup = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(
+        dup.withColumn("__dup", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "list_id",
+        F.col("__dup").isNull().alias("is_kept"),
+    )

@@ -1152,3 +1152,43 @@ def cluster_representatives_sql(table: str = "documents", n: int = 3,
         JOIN best b USING (cluster_id)
         JOIN sizes z USING (cluster_id)
     """
+
+
+def semantic_dedup_sql(table: str = "embeddings", n_centroids: int = 16,
+                       threshold: float = 0.6) -> str:
+    """Mirror of functions/similarity.semantic_dedup(lloyd_iters=0):
+    strided deterministic seed centroids, rounded-cosine argmax
+    assignment (the shared ann_ivf seed/assign CTE shape), then the
+    within-cluster pairwise epsilon-ball prune — a vector is dropped
+    iff a smaller-id member of its own cluster has rounded cosine >=
+    threshold."""
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+        ), st AS (
+          SELECT greatest(COUNT(*) // {n_centroids}, 1) AS step FROM e
+        ), cent AS (
+          SELECT e.vec_id, e.v FROM e, st
+          WHERE e.vec_id % st.step = 0
+          ORDER BY e.vec_id LIMIT {n_centroids}
+        ), cl AS (
+          SELECT list(v ORDER BY vec_id) AS cents FROM cent
+        ), scores AS (
+          SELECT e.vec_id, e.v,
+                 [round(list_cosine_similarity(e.v, c), 6)
+                  for c in cl.cents] AS s
+          FROM e, cl
+        ), assigned AS (
+          SELECT vec_id, v,
+                 CAST(list_position(s, list_max(s)) AS INTEGER) AS list_id
+          FROM scores
+        ), dups AS (
+          SELECT DISTINCT b.vec_id
+          FROM assigned a
+          JOIN assigned b
+            ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+        )
+        SELECT a.vec_id, a.list_id, d.vec_id IS NULL AS is_kept
+        FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """

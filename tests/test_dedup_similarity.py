@@ -816,3 +816,54 @@ class TestCorpusDiff:
         assert got["s0"].n_docs == 3 and got["s0"].n_unique == 2
         assert got["s0"].dup_rate == round(1 - 2 / 3, 6)
         assert got["s1"].dup_rate == 0.0
+
+
+@pytest.mark.slow
+class TestSemanticDedup:
+    """SemDeDup-style within-cluster epsilon-ball prune."""
+
+    def test_planted_near_identicals_pruned(self, spark):
+        # 3 clusters x 5 members; in cluster 0 vectors 1 and 2 are
+        # near-copies of vector 0 (cosine ~ 1) — both must be dropped,
+        # the lowest-id copy kept
+        rng = np.random.default_rng(23)
+        cents = rng.standard_normal((3, 16))
+        rows = []
+        vid = 0
+        for ci, c in enumerate(cents):
+            for j in range(5):
+                v = c + 2.0 * rng.standard_normal(16)
+                if ci == 0 and j in (1, 2):
+                    v = cents[0] * 3.0 + 0.001 * rng.standard_normal(16)
+                if ci == 0 and j == 0:
+                    v = cents[0] * 3.0
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        out = S.semantic_dedup(
+            df, threshold=0.95, n_centroids=3, lloyd_iters=0
+        ).toPandas().set_index("vec_id")
+        assert len(out) == 15
+        assert bool(out.loc[0, "is_kept"])        # first copy survives
+        assert not bool(out.loc[1, "is_kept"])    # later copies pruned
+        assert not bool(out.loc[2, "is_kept"])
+        # everything outside the planted ball survives at 0.95
+        assert out.loc[3:, "is_kept"].all()
+
+    def test_every_vector_appears_once(self, emb):
+        out = S.semantic_dedup(emb, threshold=0.9, n_centroids=8,
+                               lloyd_iters=0).toPandas()
+        assert len(out) == emb.count()
+        assert out["vec_id"].is_unique
+        assert set(out.columns) == {"vec_id", "list_id", "is_kept"}
+
+    def test_vectorized_assignment_parity(self, emb):
+        a = S.semantic_dedup(emb, threshold=0.9, n_centroids=8,
+                             lloyd_iters=0, vectorized=False).toPandas()
+        b = S.semantic_dedup(emb, threshold=0.9, n_centroids=8,
+                             lloyd_iters=0, vectorized=True).toPandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("vec_id").reset_index(drop=True),
+            b.sort_values("vec_id").reset_index(drop=True),
+        )
