@@ -1081,6 +1081,23 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-training context assembly: every EXTRACTED turn becomes a
+    training target whose context is the maximal run of preceding
+    turns fitting a 100-token budget — the conversation-threaded
+    counterpart of chunk_documents (each doc-chunk is standalone; a
+    chat sample carries its history). Budget 100 sits at the
+    fixture's q99 turn length, so both multi-turn contexts and the
+    single-turn truncation clamp are exercised. Composes the
+    extraction pipeline with the window op, so the oracle (golden
+    turns parquet + window SQL) checks both."""
+    from pdfextraction_spark.functions.chunking import context_windows
+    from pdfextraction_spark.pipeline import extract_dataframe
+
+    ex = extract_dataframe(_fixture_turns(spark, sf_dir), num_partitions=8)
+    return context_windows(ex, budget=100, text_col="extracted_text")
+
+
 def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data gate: extraction -> language-ID +
     quality scoring on the EXTRACTED text -> filtered corpus rows."""
@@ -1174,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "length_quantiles": q_length_quantiles,
         "semantic_dedup": q_semantic_dedup,
+        "context_windows": q_context_windows,
         "training_filter": q_training_filter,
     }
 
@@ -1733,6 +1751,39 @@ def _golden_oracle_sql() -> dict[str, str]:
             SELECT media_id, frame_idx, frame_mean, frame_std,
                    frame_digest, decoded
             FROM read_parquet('{t("video_frames")}')
+        """,
+        "context_windows": f"""
+            WITH tk AS (
+              SELECT conv_id, turn_idx,
+                CASE WHEN length(trim(extracted_text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(extracted_text),
+                                                    '\\s+')) END AS tok
+              FROM read_parquet('{t("turns")}')
+            ), c AS (
+              SELECT conv_id, turn_idx, tok,
+                     SUM(tok) OVER w AS cum,
+                     row_number() OVER w AS rn
+              FROM tk
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ), j AS (
+              SELECT a.conv_id, a.turn_idx, a.tok, a.cum, a.rn,
+                     min(b.rn) AS jrn,
+                     min(b.turn_idx) AS jidx,
+                     min(b.cum - b.tok) AS jprefix
+              FROM c a LEFT JOIN c b
+                ON a.conv_id = b.conv_id AND b.rn <= a.rn
+               AND (b.cum - b.tok) >= a.cum - 100
+              GROUP BY a.conv_id, a.turn_idx, a.tok, a.cum, a.rn
+            )
+            SELECT conv_id, turn_idx, CAST(tok AS BIGINT) AS n_tokens,
+                   CAST(coalesce(jidx, turn_idx) AS INTEGER)
+                     AS ctx_start_idx,
+                   CAST(coalesce(rn - jrn + 1, 1) AS INTEGER)
+                     AS ctx_n_turns,
+                   CAST(coalesce(cum - jprefix, tok) AS BIGINT)
+                     AS ctx_tokens,
+                   jrn IS NULL AS truncated
+            FROM j
         """,
         "training_filter": f"""
             WITH feat AS (

@@ -112,3 +112,159 @@ def pack_chunks(
         F.floor(start / capacity).cast("long").alias("bin_id"),
         F.pmod(start, F.lit(capacity)).cast("long").alias("bin_offset"),
     )
+
+
+def context_windows(
+    turns: DataFrame,
+    budget: int = 256,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    vectorized: bool = False,
+) -> DataFrame:
+    """Per-turn training-context assembly over a conversation: for
+    every turn i the context is the maximal contiguous run of turns
+    [j..i] (conversation order) whose whitespace-token total fits
+    ``budget`` — the chat-training analogue of chunk_documents, where
+    each turn becomes a training target and the budget is the model's
+    context length. A turn whose OWN token count exceeds the budget is
+    its own context, flagged ``truncated`` (the tokenizer cuts it).
+
+    Output (one row per input turn, all scalar columns): conv_id,
+    turn_idx, n_tokens, ctx_start_idx (turn_idx of the first context
+    turn), ctx_n_turns, ctx_tokens, truncated.
+
+    Shape: ONE shuffle (groupBy conv) builds the per-conversation
+    (turn_idx, tok) array; the cumulative-sum array is staged as a
+    real projection column (the staging rule — HOFs are interpreted,
+    a non-attribute input nested under them re-evaluates per element),
+    then each exploded turn finds its window start by counting prefix
+    sums below cum_i - budget. That count is O(len) per turn —
+    O(len^2) per conversation — which is fine at real turn counts
+    (conversations are bounded; the 1000-turn planted mega-conv costs
+    ~10^6 interpreted ops); ``vectorized=True`` switches to one
+    applyInPandas np.searchsorted pass per conversation, O(len log
+    len), equality-pinned against this path in tests. Window start is
+    monotone in i, so the closed form needs no iteration: j = #{prefix
+    sums < cum_i - budget} + 1, clamped to i when the turn alone
+    overflows.
+    """
+    tok = (
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .cast("long")
+    )
+    base = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        tok.alias("tok"),
+    )
+    if vectorized:
+        return _np_context_windows(base, budget)
+    g = base.groupBy("conv_id").agg(
+        F.sort_array(F.collect_list(F.struct("turn_idx", "tok"))).alias("ts")
+    )
+    g = g.withColumn(
+        "cums",
+        F.aggregate(
+            "ts",
+            F.array().cast("array<long>"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.coalesce(
+                        F.try_element_at(acc, F.lit(-1)),
+                        F.lit(0).cast("long"),
+                    )
+                    + x["tok"]
+                ),
+            ),
+        ),
+    )
+    ex = g.select(
+        "conv_id", "ts", "cums", F.posexplode("ts").alias("p0", "t")
+    ).select(
+        "conv_id",
+        "ts",
+        "cums",
+        (F.col("p0") + 1).alias("i"),
+        F.col("t.turn_idx").alias("turn_idx"),
+        F.col("t.tok").alias("n_tokens"),
+    )
+    staged = ex.withColumn(
+        "cnt",
+        F.size(
+            F.filter(
+                F.concat(
+                    F.array(F.lit(0).cast("long")),
+                    F.slice(F.col("cums"), 1, F.col("i") - 1),
+                ),
+                lambda c: c < F.element_at(F.col("cums"), F.col("i"))
+                - budget,
+            )
+        ),
+    ).withColumn("trunc", F.col("cnt") >= F.col("i"))
+    start_pos = F.when(F.col("trunc"), F.col("i")).otherwise(F.col("cnt") + 1)
+    staged = staged.withColumn("sp", start_pos)
+    prefix = F.when(F.col("sp") == 1, F.lit(0).cast("long")).otherwise(
+        F.element_at(F.col("cums"), F.col("sp") - 1)
+    )
+    return staged.select(
+        "conv_id",
+        "turn_idx",
+        "n_tokens",
+        F.element_at(F.col("ts"), F.col("sp"))["turn_idx"]
+        .alias("ctx_start_idx"),
+        F.when(F.col("trunc"), F.lit(1))
+        .otherwise(F.col("i") - F.col("sp") + 1)
+        .cast("int")
+        .alias("ctx_n_turns"),
+        F.when(F.col("trunc"), F.col("n_tokens"))
+        .otherwise(F.element_at(F.col("cums"), F.col("i")) - prefix)
+        .cast("long")
+        .alias("ctx_tokens"),
+        F.col("trunc").alias("truncated"),
+    )
+
+
+def _np_context_windows(base: DataFrame, budget: int) -> DataFrame:
+    """applyInPandas scale path for context_windows: one vectorized
+    np.searchsorted per conversation over the nondecreasing prefix-sum
+    array — O(len log len) against the expression path's O(len^2).
+    Same keep/clamp semantics, equality-pinned in tests."""
+    import numpy as np
+    import pandas as pd
+
+    schema = (
+        "conv_id string, turn_idx int, n_tokens long, ctx_start_idx int,"
+        " ctx_n_turns int, ctx_tokens long, truncated boolean"
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
+        tokv = pdf["tok"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(tokv)
+        prefix = cum - tokv  # prefix[p] == cum[p-1], nondecreasing
+        j = np.searchsorted(prefix, cum - budget, side="left")
+        i = np.arange(len(pdf))
+        trunc = j > i
+        j = np.minimum(j, i)
+        return pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"],
+                "turn_idx": pdf["turn_idx"].astype("int32"),
+                "n_tokens": tokv,
+                "ctx_start_idx": pdf["turn_idx"].to_numpy(
+                    dtype=np.int32
+                )[j],
+                "ctx_n_turns": np.where(trunc, 1, i - j + 1).astype(
+                    "int32"
+                ),
+                "ctx_tokens": np.where(
+                    trunc, tokv, cum - prefix[j]
+                ).astype(np.int64),
+                "truncated": trunc,
+            }
+        )
+
+    return base.groupBy("conv_id").applyInPandas(assemble, schema)

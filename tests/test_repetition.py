@@ -647,3 +647,90 @@ class TestLengthQuantiles:
                 assert abs(out.loc[lang, f"p{p}_tokens"]
                            - round(float(np.percentile(toks, p)), 4)) \
                     < 1e-9
+
+
+class TestContextWindows:
+    """Per-turn context assembly (chat-training budgeted history)."""
+
+    def _turns(self, spark):
+        # conv A: token counts 3,4,5,200,2 — budget 10 exercises
+        # multi-turn windows, window shrink, and the truncation clamp
+        rows = [
+            ("A", 0, "w w w"),
+            ("A", 1, "x x x x"),
+            ("A", 2, "y y y y y"),
+            ("A", 3, " ".join(["z"] * 200)),
+            ("A", 4, "q q"),
+            ("B", 7, ""),          # empty text -> 0 tokens
+            ("B", 9, "a b"),
+        ]
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string")
+
+    def test_hand_computed(self, spark):
+        from pdfextraction_spark.functions.chunking import context_windows
+
+        out = (
+            context_windows(self._turns(spark), budget=10)
+            .toPandas().set_index(["conv_id", "turn_idx"]).sort_index()
+        )
+        # A0: just itself (3); A1: 3+4=7 fits; A2: 4+5=9 fits, +3=12
+        # doesn't; A3: 200 > 10 -> truncated self-window; A4: 2 fits,
+        # 200+2 doesn't -> starts at itself
+        assert out.loc[("A", 0), "ctx_start_idx"] == 0
+        assert out.loc[("A", 1), "ctx_start_idx"] == 0
+        assert out.loc[("A", 1), "ctx_tokens"] == 7
+        assert out.loc[("A", 2), "ctx_start_idx"] == 1
+        assert out.loc[("A", 2), "ctx_tokens"] == 9
+        assert out.loc[("A", 2), "ctx_n_turns"] == 2
+        assert bool(out.loc[("A", 3), "truncated"])
+        assert out.loc[("A", 3), "ctx_n_turns"] == 1
+        assert out.loc[("A", 3), "ctx_tokens"] == 200
+        assert out.loc[("A", 4), "ctx_start_idx"] == 4
+        assert not bool(out.loc[("A", 4), "truncated"])
+        # B: empty turn contributes 0 tokens; non-contiguous turn_idx
+        assert out.loc[("B", 9), "ctx_start_idx"] == 7
+        assert out.loc[("B", 9), "ctx_n_turns"] == 2
+        assert out.loc[("B", 9), "ctx_tokens"] == 2
+        assert (~out.drop(index=[("A", 3)]).truncated).all()
+
+    def test_vectorized_parity(self, spark):
+        import pandas as pd
+
+        from pdfextraction_spark.functions.chunking import context_windows
+
+        t = self._turns(spark)
+        key = ["conv_id", "turn_idx"]
+        a = context_windows(t, budget=10).toPandas() \
+            .sort_values(key).reset_index(drop=True)
+        b = context_windows(t, budget=10, vectorized=True).toPandas() \
+            .sort_values(key).reset_index(drop=True)
+        a = a.astype(b.dtypes.to_dict())
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_vectorized_parity_fuzz(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from pdfextraction_spark.functions.chunking import context_windows
+
+        rng = np.random.default_rng(31)
+        rows = []
+        for c in range(20):
+            n = int(rng.integers(1, 40))
+            for i in range(n):
+                k = int(rng.integers(0, 30))
+                rows.append((f"c{c}", i, " ".join(["t"] * k)))
+        t = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string")
+        key = ["conv_id", "turn_idx"]
+        a = context_windows(t, budget=25).toPandas() \
+            .sort_values(key).reset_index(drop=True)
+        b = context_windows(t, budget=25, vectorized=True).toPandas() \
+            .sort_values(key).reset_index(drop=True)
+        a = a.astype(b.dtypes.to_dict())
+        pd.testing.assert_frame_equal(a, b)
+        # window-start is monotone within a conversation
+        for _, g in a.groupby("conv_id"):
+            s = g.sort_values("turn_idx").ctx_start_idx.to_numpy()
+            assert (np.diff(s) >= 0).all()
