@@ -1081,6 +1081,20 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture planning at a 30k-token budget with the default
+    uniform target mix — each source's budget slice vs its available
+    tokens yields epochs (oversample) or a clamped sample_rate
+    (subsample). 30k sits near the sf corpus total, so both regimes
+    appear; the rates feed hash_sample(fractions=...) for
+    content-deterministic execution."""
+    from pdfextraction_spark.functions.sampling import mixture_weights
+
+    return mixture_weights(
+        _t(spark, sf_dir, "documents"), budget_tokens=30000
+    )
+
+
 def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chat-training context assembly: every EXTRACTED turn becomes a
     training target whose context is the maximal run of preceding
@@ -1191,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "length_quantiles": q_length_quantiles,
         "semantic_dedup": q_semantic_dedup,
+        "mixture_weights": q_mixture_weights,
         "context_windows": q_context_windows,
         "training_filter": q_training_filter,
     }
@@ -1484,6 +1499,7 @@ def _portable_oracle_sql() -> dict[str, str]:
         "length_quantiles": P.corpus_length_quantiles_sql(),
         "semantic_dedup": P.semantic_dedup_sql(n_centroids=16,
                                                threshold=0.3),
+        "mixture_weights": P.mixture_weights_sql(budget_tokens=30000),
     }
 
 

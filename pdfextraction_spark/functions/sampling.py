@@ -108,3 +108,62 @@ def dataset_split(df: DataFrame, train: float = 0.8, val: float = 0.1,
         .otherwise(F.lit("test"))
     )
     return df.withColumn(split_col, split)
+
+
+def mixture_weights(
+    docs: DataFrame,
+    budget_tokens: int,
+    targets: Optional[Dict[str, float]] = None,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Source-mixture planning: given a token budget for a training
+    run and a target mixture over sources (default: uniform across
+    observed sources), compute per source the available tokens, its
+    budget slice, and the resulting sampling rate / epoch count — the
+    deterministic arithmetic behind data-mixing recipes (the
+    published DoReMi / Pile-style weighted-source mixes; here the
+    weights are an input, not learned). ``epochs`` > 1 means the mix
+    oversamples that source (multiple passes), < 1 means it
+    subsamples; ``sample_rate`` clamps at 1 for single-pass
+    pipelines. Feed sample_rate per source into hash_sample(fractions=...)
+    to execute the plan content-deterministically.
+
+    Output: (source, n_docs, n_tokens, weight, target_tokens, epochs,
+    sample_rate), one row per source. Shape: one groupBy(source)
+    aggregation plus a single-row totals cross join (broadcast); the
+    whitespace token count is the shared token_stats convention so the
+    DuckDB oracle agrees bit-for-bit."""
+    tok = (
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .cast("long")
+    )
+    per = (
+        docs.select(F.col(source_col).alias("source"), tok.alias("tok"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("n_tokens"))
+    )
+    if targets is None:
+        tot = per.agg(F.count("*").alias("__ns"))
+        per = per.crossJoin(F.broadcast(tot))
+        weight = F.lit(1.0) / F.col("__ns")
+    else:
+        wsum = float(sum(targets.values())) or 1.0
+        weight = F.lit(0.0)
+        for s, w in sorted(targets.items()):
+            weight = F.when(
+                F.col("source") == s, F.lit(float(w) / wsum)
+            ).otherwise(weight)
+    target = F.floor(F.lit(float(budget_tokens)) * weight).cast("long")
+    staged = per.withColumn("__t", target)
+    epochs = F.col("__t") / F.col("n_tokens")
+    return staged.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(weight, 4).alias("weight"),
+        F.col("__t").alias("target_tokens"),
+        F.round(epochs, 4).alias("epochs"),
+        F.round(F.least(F.lit(1.0), epochs), 4).alias("sample_rate"),
+    )

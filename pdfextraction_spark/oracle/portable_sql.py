@@ -1192,3 +1192,35 @@ def semantic_dedup_sql(table: str = "embeddings", n_centroids: int = 16,
         SELECT a.vec_id, a.list_id, d.vec_id IS NULL AS is_kept
         FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
     """
+
+
+def mixture_weights_sql(table: str = "documents",
+                        budget_tokens: int = 30000) -> str:
+    """Mirror of functions/sampling.mixture_weights with the default
+    uniform target mixture: per-source whitespace-token totals (the
+    shared token_stats counting convention), an equal budget slice
+    per source, and the epoch / clamped sampling-rate arithmetic."""
+    return f"""
+        WITH tok AS (
+          SELECT source,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+            END AS tok
+          FROM {table}
+        ), per AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(tok) AS BIGINT) AS n_tokens
+          FROM tok GROUP BY source
+        ), tot AS (
+          SELECT COUNT(*) AS ns FROM per
+        )
+        SELECT source, n_docs, n_tokens,
+               round(1.0 / ns, 4) AS weight,
+               CAST(floor({float(budget_tokens)!r} * (1.0 / ns))
+                    AS BIGINT) AS target_tokens,
+               round(floor({float(budget_tokens)!r} * (1.0 / ns))
+                     / n_tokens, 4) AS epochs,
+               round(least(1.0, floor({float(budget_tokens)!r} * (1.0 / ns))
+                                / n_tokens), 4) AS sample_rate
+        FROM per, tot
+    """

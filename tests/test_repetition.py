@@ -734,3 +734,47 @@ class TestContextWindows:
         for _, g in a.groupby("conv_id"):
             s = g.sort_values("turn_idx").ctx_start_idx.to_numpy()
             assert (np.diff(s) >= 0).all()
+
+
+class TestMixtureWeights:
+    def test_uniform_and_explicit_targets(self, spark):
+        from pdfextraction_spark.functions.sampling import mixture_weights
+
+        docs = spark.createDataFrame(
+            [(1, "a " * 10, "web"), (2, "b " * 30, "web"),
+             (3, "c " * 20, "code"), (4, "d " * 40, "books")],
+            "doc_id long, text string, source string",
+        )
+        # uniform: 3 sources, budget 60 -> 20 tokens each
+        u = mixture_weights(docs, budget_tokens=60).toPandas() \
+            .set_index("source")
+        assert u.loc["web", "n_tokens"] == 40
+        assert (u.target_tokens == 20).all()
+        assert u.loc["web", "sample_rate"] == 0.5
+        assert u.loc["code", "epochs"] == 1.0
+        assert u.loc["books", "sample_rate"] == 0.5
+        # explicit 2:1:1 target mix, budget 80 -> 40/20/20
+        t = mixture_weights(
+            docs, budget_tokens=80,
+            targets={"web": 2.0, "code": 1.0, "books": 1.0},
+        ).toPandas().set_index("source")
+        assert t.loc["web", "target_tokens"] == 40
+        assert t.loc["web", "weight"] == 0.5
+        assert t.loc["code", "target_tokens"] == 20
+        assert t.loc["code", "epochs"] == 1.0
+        assert t.loc["books", "sample_rate"] == 0.5
+
+    def test_unlisted_source_gets_zero(self, spark):
+        from pdfextraction_spark.functions.sampling import mixture_weights
+
+        docs = spark.createDataFrame(
+            [(1, "a b c", "web"), (2, "d e", "spam")],
+            "doc_id long, text string, source string",
+        )
+        out = mixture_weights(
+            docs, budget_tokens=100, targets={"web": 1.0}
+        ).toPandas().set_index("source")
+        assert out.loc["spam", "weight"] == 0.0
+        assert out.loc["spam", "target_tokens"] == 0
+        assert out.loc["spam", "sample_rate"] == 0.0
+        assert out.loc["web", "target_tokens"] == 100
