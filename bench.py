@@ -74,7 +74,10 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "chunk_documents",
     "pack_chunks",
+    "context_windows",
     "curation_funnel_v2",
+    "semantic_dedup",
+    "mixture_weights",
     "extract_tables",
     "classify_blocks",
     "merge_tables",
@@ -355,6 +358,7 @@ def production_queries() -> dict:
         minhash_lsh_pairs,
         simhash_near_pairs,
     )
+    from pdfextraction_spark.functions.chunking import context_windows
     from pdfextraction_spark.functions.similarity import (
         cosine_near_pairs,
         ivf_topk,
@@ -362,6 +366,7 @@ def production_queries() -> dict:
         lsh_bucket_topk,
         pq_adc_topk,
         pq_encode,
+        semantic_dedup,
     )
 
     def _docs(spark, sf_dir):
@@ -412,6 +417,21 @@ def production_queries() -> dict:
         "ann_ivfpq_topk": lambda s, d: ivfpq_topk(
             _emb(s, d), _queries(s, d), _pq_books(s, d),
             centroids=_ivf_centroids(s, d), k=10, n_probe=4,
+            vectorized=True,
+        ),
+        # production semantic dedup: Lloyd-trained coarse centroids
+        # (shared cached index) + numpy assignment; the driver query
+        # runs lloyd_iters=0 seeds for oracle-exactness
+        "semantic_dedup": lambda s, d: semantic_dedup(
+            _emb(s, d), threshold=0.3, centroids=_ivf_centroids(s, d),
+            vectorized=True,
+        ),
+        # context assembly over the RAW bench transcripts (the driver
+        # query composes extraction first — extraction throughput is
+        # already the headline metric, so the bench times the window
+        # op itself on the big fixture), vectorized searchsorted path
+        "context_windows": lambda s, d: context_windows(
+            s.read.parquet(ensure_bench_fixture()), budget=100,
             vectorized=True,
         ),
         # the funnel's production shape: xxhash64 near-dup stage (the
@@ -478,6 +498,7 @@ GROWTH_QUERIES = [
     "chunk_documents",
     "pack_chunks",
     "pq_adc_topk",
+    "semantic_dedup",
 ]
 
 
@@ -501,7 +522,8 @@ def run_sf_growth(tiers=("/root/testdata/sf0.01", "/root/testdata/sf0.1"),
     force = _force
     qs = {**entrymod.queries(), **production_queries()}
     table_for = {q: ("embeddings"
-                     if q.startswith(("ann_", "cosine_", "pq_"))
+                     if q.startswith(("ann_", "cosine_", "pq_",
+                                      "semantic_"))
                      else "documents") for q in GROWTH_QUERIES}
     # parallel-scan copies (see ensure_parallel_sf) so both tiers
     # measure the multi-file shape a corpus scan has
@@ -598,6 +620,19 @@ def run_sf_growth(tiers=("/root/testdata/sf0.01", "/root/testdata/sf0.1"),
                 fn = lambda: cosine_near_pairs(  # noqa: E731
                     emb, threshold=0.4, blocked=True, bits=bits)
                 extra.setdefault("bits", []).append(bits)
+            elif q == "semantic_dedup":
+                # the operated SemDeDup dial: cluster count grows
+                # with n for ~constant occupancy, so the
+                # within-cluster quadratic stays bounded per cluster
+                from pdfextraction_spark.functions.similarity import (
+                    semantic_dedup,
+                )
+                k_c = max(4, n // 125)
+                emb = spark.read.parquet(
+                    os.path.join(d, "embeddings.parquet"))
+                fn = lambda: semantic_dedup(  # noqa: E731
+                    emb, threshold=0.3, n_centroids=k_c, lloyd_iters=0)
+                extra.setdefault("n_centroids", []).append(k_c)
             else:
                 fn = lambda: qs[q](spark, d)  # noqa: E731
             force(fn())  # untimed warm per tier

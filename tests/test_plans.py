@@ -210,3 +210,39 @@ class TestRound4Plans:
 
         plan = _plan(em.q_ann_ivfpq(spark, "/root/testdata/sf0.001"))
         assert "BroadcastHashJoin" in plan
+
+    def test_mixture_weights_broadcast_totals(self, spark):
+        """Per-source agg plus a single-row totals side: the totals
+        cross join must broadcast, never shuffle the source rows a
+        second time for it."""
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_mixture_weights(spark,
+                                          "/root/testdata/sf0.001"))
+        assert "BroadcastNestedLoopJoin" in plan or \
+            "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "ReadSchema: struct<text:string,source:string>" in plan
+
+    def test_context_windows_single_shuffle(self, spark):
+        """Window assembly = ONE shuffle (groupBy conv); the explode
+        and prefix arithmetic stay narrow. (AQE may add a coalesce
+        read over the same exchange — count real Exchange nodes.)"""
+        from pdfextraction_spark.functions.chunking import context_windows
+
+        turns = spark.createDataFrame(
+            [("a", 0, "x y"), ("a", 1, "z"), ("b", 0, "w")],
+            "conv_id string, turn_idx int, text string",
+        )
+        plan = _plan(context_windows(turns, budget=4))
+        assert plan.count("Exchange") <= 1
+
+    def test_semantic_dedup_join_keyed_on_list(self, spark):
+        """The within-cluster prune self-joins on list_id only —
+        cluster size bounds the quadratic; no cross join appears."""
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_semantic_dedup(spark,
+                                         "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
