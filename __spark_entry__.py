@@ -1081,6 +1081,26 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-increment composite end to end: snapshot diff (same
+    derived old/new split as corpus_diff) -> only the added/changed
+    docs near-dup join (portable minhash-LSH, verify-before-emit)
+    against the retained corpus -> per-incoming-doc verdict
+    (dup_of best match / unique). The composition the incremental
+    operators exist for, oracle-checked as one chain."""
+    from pdfextraction_spark.functions.dedup import incremental_update
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 5)
+    new = docs.filter(F.col("doc_id") % 7 != 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    return incremental_update(old, new, threshold=0.2, portable=True)
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-mixture planning at a 30k-token budget with the default
     uniform target mix — each source's budget slice vs its available
@@ -1205,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "length_quantiles": q_length_quantiles,
         "semantic_dedup": q_semantic_dedup,
+        "incremental_update": q_incremental_update,
         "mixture_weights": q_mixture_weights,
         "context_windows": q_context_windows,
         "training_filter": q_training_filter,
@@ -1500,6 +1521,7 @@ def _portable_oracle_sql() -> dict[str, str]:
         "semantic_dedup": P.semantic_dedup_sql(n_centroids=16,
                                                threshold=0.3),
         "mixture_weights": P.mixture_weights_sql(budget_tokens=30000),
+        "incremental_update": P.incremental_update_sql(threshold=0.2),
     }
 
 

@@ -76,6 +76,7 @@ HEADLINE = [
     "pack_chunks",
     "context_windows",
     "curation_funnel_v2",
+    "incremental_update",
     "semantic_dedup",
     "mixture_weights",
     "extract_tables",
@@ -355,6 +356,7 @@ def production_queries() -> dict:
 
     from pdfextraction_spark.functions.curation import curation_funnel
     from pdfextraction_spark.functions.dedup import (
+        incremental_update,
         minhash_lsh_pairs,
         simhash_near_pairs,
     )
@@ -433,6 +435,17 @@ def production_queries() -> dict:
         "context_windows": lambda s, d: context_windows(
             s.read.parquet(ensure_bench_fixture()), budget=100,
             vectorized=True,
+        ),
+        # crawl-increment composite with the production xxhash64
+        # family (driver query runs portable md5 for the oracle)
+        "incremental_update": lambda s, d: incremental_update(
+            _docs(s, d).filter(SF.col("doc_id") % 11 != 5),
+            _docs(s, d).filter(SF.col("doc_id") % 7 != 3).withColumn(
+                "text",
+                SF.when(SF.col("doc_id") % 5 == 0,
+                        SF.concat(SF.col("text"), SF.lit(" v2")))
+                .otherwise(SF.col("text"))),
+            threshold=0.2, portable=False,
         ),
         # the funnel's production shape: xxhash64 near-dup stage (the
         # driver query runs the portable md5 family for the oracle)

@@ -754,3 +754,73 @@ def dup_rate_by_source(
             .alias("dup_rate"),
         )
     )
+
+
+def incremental_update(
+    old: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """The crawl-increment step END TO END — the composition the
+    individual operators exist for: (1) corpus_diff finds what the
+    new snapshot actually changed, (2) only the ADDED/CHANGED docs
+    near-dup join (minhash-LSH, verify-before-emit) against the
+    RETAINED corpus — the unchanged docs, which at snapshot scale are
+    ~99% and are never re-shingled on the probe side, (3) each
+    incoming doc gets a verdict: ``dup_of`` its best retained match
+    (highest jaccard, ties -> smallest id) or ``unique``.
+
+    Output, one row per added/changed doc (scalar, null-free):
+    (doc_id, status, verdict, dup_of, jaccard) with dup_of = -1 /
+    jaccard = 0.0 for unique docs.
+
+    Scale shape: the diff is one full outer join on the id; its
+    output (the few-% delta) is materialized once (localCheckpoint —
+    it feeds both the incoming inner join and the retained anti join;
+    re-deriving the diff per consumer would double the snapshot
+    scan). The near-dup join pays the big-side shingling once per
+    batch — the asymmetric-join property the incremental_join growth
+    bench certifies (corpus 10x at fixed batch: e~0.46)."""
+    from pyspark.sql import Window
+
+    diff = corpus_diff(old, new, text_col=text_col, id_col=id_col)
+    incoming_ids = (
+        diff.filter(F.col("status").isin("added", "changed"))
+        .localCheckpoint()
+    )
+    new_docs = new.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    incoming = new_docs.join(incoming_ids.select("doc_id"), "doc_id",
+                             "semi")
+    retained = new_docs.join(incoming_ids.select("doc_id"), "doc_id",
+                             "anti")
+    pairs = minhash_lsh_join(
+        incoming, retained, threshold=threshold, n=n,
+        portable=portable,
+    )
+    w = Window.partitionBy("left_id").orderBy(
+        F.desc("jaccard"), F.asc("right_id")
+    )
+    best = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("left_id").alias("doc_id"),
+            F.col("right_id").alias("dup_of"),
+            "jaccard",
+        )
+    )
+    return incoming_ids.join(best, "doc_id", "left").select(
+        "doc_id",
+        "status",
+        F.when(F.col("dup_of").isNull(), F.lit("unique"))
+        .otherwise(F.lit("dup_of"))
+        .alias("verdict"),
+        F.coalesce(F.col("dup_of"), F.lit(-1).cast("long")).alias("dup_of"),
+        F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+    )

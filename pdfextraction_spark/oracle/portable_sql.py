@@ -1224,3 +1224,85 @@ def mixture_weights_sql(table: str = "documents",
                                 / n_tokens), 4) AS sample_rate
         FROM per, tot
     """
+
+
+def incremental_update_sql(table: str = "documents", n: int = 3,
+                           num_hashes: int = 32, bands: int = 8,
+                           threshold: float = 0.2) -> str:
+    """Mirror of q_incremental_update: the corpus_diff derivation
+    (old = minus id%11==5, new = minus id%7==3 with id%5==0 texts
+    amended ' v2'), added/changed docs minhash-LSH joined (portable
+    md5 family — the minhash_lsh_join_sql chain over the NEW snapshot
+    with membership filters) against the retained docs, best match
+    per incoming doc (jaccard desc, id asc), null-free verdict row."""
+    r = num_hashes // bands
+    norm = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    return f"""
+        WITH nsnap AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                      ELSE text END AS text
+          FROM {table} WHERE doc_id % 7 <> 3
+        ), ofp AS (
+          SELECT doc_id, {norm} AS fp
+          FROM {table} WHERE doc_id % 11 <> 5
+        ), nfp AS (
+          SELECT doc_id, {norm} AS fp FROM nsnap
+        ), incoming AS (
+          SELECT n.doc_id,
+                 CASE WHEN o.doc_id IS NULL THEN 'added'
+                      ELSE 'changed' END AS status
+          FROM nfp n LEFT JOIN ofp o ON o.doc_id = n.doc_id
+          WHERE o.doc_id IS NULL OR o.fp <> n.fp
+        ), {_shingle_cte("nsnap", n)},
+        sig AS (
+          SELECT doc_id, i // {r} AS band,
+                 string_agg(mh, ',' ORDER BY i) AS key
+          FROM (
+            SELECT doc_id, i,
+                   MIN(substring(md5(i || ':' || s), 1, 16)) AS mh
+            FROM sh,
+              LATERAL (SELECT unnest(generate_series(0, {bands * r - 1})) AS i)
+            GROUP BY doc_id, i
+          ) mh
+          GROUP BY doc_id, band
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+          FROM sig a
+          JOIN sig b ON a.band = b.band AND a.key = b.key
+          WHERE a.doc_id IN (SELECT doc_id FROM incoming)
+            AND b.doc_id NOT IN (SELECT doc_id FROM incoming)
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT c.left_id, c.right_id, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.left_id
+          JOIN sh b ON b.doc_id = c.right_id AND b.s = a.s
+          GROUP BY c.left_id, c.right_id
+        ), verified AS (
+          SELECT i.left_id, i.right_id,
+                 round(i.n_inter * 1.0
+                       / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.left_id
+          JOIN sizes sb ON sb.doc_id = i.right_id
+          WHERE round(i.n_inter * 1.0
+                      / (sa.n_sh + sb.n_sh - i.n_inter), 6)
+                  >= {threshold}
+        ), best AS (
+          SELECT left_id AS doc_id, right_id AS dup_of, jaccard FROM (
+            SELECT left_id, right_id, jaccard,
+                   row_number() OVER (PARTITION BY left_id
+                                      ORDER BY jaccard DESC,
+                                               right_id ASC) AS rn
+            FROM verified
+          ) WHERE rn = 1
+        )
+        SELECT i.doc_id, i.status,
+               CASE WHEN b.dup_of IS NULL THEN 'unique'
+                    ELSE 'dup_of' END AS verdict,
+               COALESCE(b.dup_of, -1) AS dup_of,
+               COALESCE(b.jaccard, 0.0) AS jaccard
+        FROM incoming i LEFT JOIN best b ON b.doc_id = i.doc_id
+    """

@@ -867,3 +867,46 @@ class TestSemanticDedup:
             a.sort_values("vec_id").reset_index(drop=True),
             b.sort_values("vec_id").reset_index(drop=True),
         )
+
+
+class TestIncrementalUpdate:
+    """Composite crawl-increment step: diff -> asymmetric near-dup
+    join -> verdicts."""
+
+    def test_planted_scenario(self, spark):
+        base = " ".join(f"w{i}" for i in range(40))
+        near = " ".join(
+            f"w{i}" if i != 3 else "zz" for i in range(40))
+        old = spark.createDataFrame(
+            [(1, base), (2, "totally different text about other things"),
+             (3, "this one will change")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, base), (2, "totally different text about other things"),
+             (3, "this one has now changed"),
+             (10, near),                      # added near-copy of doc 1
+             (11, "novel content nothing like the corpus")],  # added
+            "doc_id long, text string",
+        )
+        out = D.incremental_update(old, new, threshold=0.2) \
+            .toPandas().set_index("doc_id").sort_index()
+        # only added/changed docs appear
+        assert set(out.index) == {3, 10, 11}
+        assert out.loc[3, "status"] == "changed"
+        assert out.loc[10, "status"] == "added"
+        assert out.loc[10, "verdict"] == "dup_of"
+        assert out.loc[10, "dup_of"] == 1
+        assert out.loc[10, "jaccard"] > 0.2
+        assert out.loc[11, "verdict"] == "unique"
+        assert out.loc[11, "dup_of"] == -1
+        assert out.loc[11, "jaccard"] == 0.0
+
+    def test_unchanged_docs_never_probe(self, spark):
+        """Byte-identical snapshots produce ZERO output rows — the
+        no-op increment costs no near-dup work."""
+        docs = spark.createDataFrame(
+            [(i, f"text number {i} with words") for i in range(20)],
+            "doc_id long, text string",
+        )
+        assert D.incremental_update(docs, docs).count() == 0
