@@ -194,3 +194,49 @@ class TestPortableAnnParity:
         assert exact
         assert got <= exact
         assert len(got) / len(exact) >= 0.6
+
+
+@pytest.mark.slow
+class TestRound4Parity:
+    def test_semantic_dedup_matches_duckdb(self, emb):
+        got = (
+            S.semantic_dedup(emb, threshold=0.5, n_centroids=8,
+                             lloyd_iters=0)
+            .toPandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        con = _duck({"embeddings": emb.toPandas()})
+        exp = con.execute(
+            "SELECT * FROM ("
+            + P.semantic_dedup_sql(n_centroids=8, threshold=0.5)
+            + ") ORDER BY vec_id"
+        ).fetchdf()
+        assert list(got["vec_id"]) == list(exp["vec_id"])
+        assert list(got["list_id"]) == list(exp["list_id"])
+        assert list(got["is_kept"]) == list(exp["is_kept"])
+        # the clustered fixture has near-identical points per cluster
+        assert (~got["is_kept"]).sum() >= 5
+
+    def test_incremental_update_matches_duckdb(self, docs):
+        from pyspark.sql import functions as SF
+
+        old = docs.filter(SF.col("doc_id") % 11 != 5)
+        new = docs.filter(SF.col("doc_id") % 7 != 3).withColumn(
+            "text",
+            SF.when(SF.col("doc_id") % 5 == 0,
+                    SF.concat(SF.col("text"), SF.lit(" v2")))
+            .otherwise(SF.col("text")),
+        )
+        got = (
+            D.incremental_update(old, new, threshold=0.2, portable=True)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        con = _duck({"documents": docs.toPandas()})
+        exp = con.execute(
+            "SELECT * FROM ("
+            + P.incremental_update_sql(threshold=0.2)
+            + ") ORDER BY doc_id"
+        ).fetchdf()
+        for c in ("doc_id", "status", "verdict", "dup_of"):
+            assert list(got[c]) == list(exp[c]), c
+        assert np.allclose(got["jaccard"], exp["jaccard"])
+        assert (got["verdict"] == "dup_of").any()
