@@ -1,0 +1,183 @@
+"""Persistent IVF-PQ index — the deployment shape of the ANN stack.
+
+A 10^9-vector deployment builds the index ONCE (coarse centroids +
+PQ codebooks + the coded corpus) and serves many search batches
+against it; rebuilding per batch would re-pay the training and the
+full-corpus encode every time. This module persists the index as a
+plain parquet layout and restores it for search:
+
+    <path>/centroids.parquet   (list_id int, c array<double>)
+    <path>/codebooks.parquet   (j int, code int, vec array<double>)
+    <path>/meta.parquet        (m, k, dim, n_centroids, n_vectors)
+    <path>/coded/              (vec_id long, codes array<int>)
+                               PARTITIONED BY list_id
+
+The partitioning IS the inverted-list file layout, Spark-native:
+each coarse list is its own parquet partition directory, so a search
+that probes n_probe lists filters ``list_id IN (...)`` and the scan
+prunes to exactly those directories (``PartitionFilters`` in the
+plan, asserted in tests) — the corpus outside the probed lists is
+never read, which is what makes serving reads O(probed fraction)
+instead of O(corpus).
+
+Search reuses the exact ivfpq_topk machinery (_probe_lists,
+_adc_query_tables, _adc_score, _adc_rank — single homes for the
+tie/rounding contracts), so indexed results are row-identical to the
+in-memory composition; pinned in tests. Centroid/codebook collects
+are bounded metadata (n_centroids x dim + m x k x d_sub doubles) —
+the same stance as the IVF training collect.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.similarity import (
+    _adc_query_tables,
+    _adc_rank,
+    _adc_score,
+    _coarse_assigned,
+    _probe_lists,
+    _resolve_vectorized,
+    pq_encode,
+    pq_train_codebooks,
+    train_ivf_centroids,
+)
+
+
+@dataclass
+class AnnIndex:
+    """Handle over a persisted IVF-PQ index: small quantizer arrays
+    in memory, the coded corpus as a lazy partitioned read."""
+
+    path: str
+    centroids: List[List[float]]
+    codebooks: List[List[List[float]]]
+    spark: SparkSession = field(repr=False)
+
+    def coded(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "coded"))
+
+
+def build_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    lloyd_iters: int = 1,
+    pq_lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: Optional[bool] = None,
+) -> AnnIndex:
+    """Train both quantizers, encode + coarse-assign the corpus in
+    one pass, and persist the whole index under ``path``.
+
+    The coded write is the only corpus-sized job (one scan -> one
+    partitioned write); everything else is bounded metadata. The
+    production config dial (`vectorized=None`) flips the Arrow/numpy
+    paths above the literal-plan walls exactly like ivfpq_topk."""
+    spark = embeddings.sparkSession
+    centroids = train_ivf_centroids(
+        embeddings, n_centroids, id_col=id_col, vec_col=vec_col,
+        lloyd_iters=lloyd_iters, vectorized=vectorized,
+    )
+    codebooks = pq_train_codebooks(
+        embeddings, m=m, k=k, dim=dim, id_col=id_col, vec_col=vec_col,
+        lloyd_iters=pq_lloyd_iters, vectorized=vectorized,
+    )
+    vec = _resolve_vectorized(vectorized, max(len(centroids), k))
+    assigned = _coarse_assigned(embeddings, centroids, vec,
+                                id_col, vec_col)
+    coded = pq_encode(assigned, codebooks, "vec_id", "v",
+                      vectorized=vec, keep=("list_id",))
+    coded.select("vec_id", "codes", "list_id").write.partitionBy(
+        "list_id"
+    ).mode("overwrite").parquet(os.path.join(path, "coded"))
+    spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(centroids)],
+        "list_id int, c array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids.parquet"))
+    spark.createDataFrame(
+        [(j, ci, list(cvec))
+         for j, book in enumerate(codebooks)
+         for ci, cvec in enumerate(book)],
+        "j int, code int, vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "codebooks.parquet"))
+    spark.createDataFrame(
+        [(m, k, dim, len(centroids), embeddings.count())],
+        "m int, k int, dim int, n_centroids int, n_vectors long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "meta.parquet"))
+    return AnnIndex(path=path, centroids=centroids,
+                    codebooks=codebooks, spark=spark)
+
+
+def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
+    """Restore the quantizer arrays (bounded collects, exact — parquet
+    doubles are lossless) and hand back the lazy coded-corpus read."""
+    cents = spark.read.parquet(
+        os.path.join(path, "centroids.parquet")
+    ).orderBy("list_id").collect()
+    centroids = [list(map(float, r.c)) for r in cents]
+    rows = spark.read.parquet(
+        os.path.join(path, "codebooks.parquet")
+    ).orderBy("j", "code").collect()
+    meta = spark.read.parquet(
+        os.path.join(path, "meta.parquet")).collect()[0]
+    codebooks: List[List[List[float]]] = [[] for _ in range(meta.m)]
+    for r in rows:
+        codebooks[r.j].append(list(map(float, r.vec)))
+    if any(len(b) != meta.k for b in codebooks):
+        raise ValueError(f"corrupt index at {path}: codebook shape "
+                         f"mismatch vs meta (m={meta.m}, k={meta.k})")
+    return AnnIndex(path=path, centroids=centroids,
+                    codebooks=codebooks, spark=spark)
+
+
+def ivfpq_topk_indexed(
+    index: AnnIndex,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    vectorized: Optional[bool] = None,
+) -> DataFrame:
+    """IVF-PQ search over a PERSISTED index: probe lists are computed
+    for the (bounded) query batch, collected, and pushed into the
+    coded-corpus scan as a ``list_id IN (...)`` partition filter —
+    only the probed inverted-list directories are read. Scoring and
+    ranking are the shared ADC contract, so output rows match the
+    in-memory ivfpq_topk bit-for-bit (pinned in tests)."""
+    vec = _resolve_vectorized(
+        vectorized, max(len(index.centroids), len(index.codebooks[0]))
+    )
+    probes = _probe_lists(queries, index.centroids, n_probe, vec,
+                          query_id_col, vec_col)
+    probe_rows = probes.select(
+        "query_id", F.explode("__probes").alias("list_id")
+    ).localCheckpoint()  # consumed twice: the IN-filter collect + join
+    probed = sorted(
+        r.list_id
+        for r in probe_rows.select("list_id").distinct().collect()
+    )
+    coded = index.coded().filter(F.col("list_id").isin(probed))
+    tq = _adc_query_tables(queries, index.codebooks, query_id_col,
+                           vec_col)
+    q = probe_rows.join(tq, "query_id")
+    scored = (
+        coded.join(F.broadcast(q), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id",
+                _adc_score().alias("approx_dist_micros"))
+    )
+    return _adc_rank(scored, k)

@@ -910,3 +910,62 @@ class TestIncrementalUpdate:
             "doc_id long, text string",
         )
         assert D.incremental_update(docs, docs).count() == 0
+
+
+@pytest.mark.slow
+class TestAnnIndexPersistence:
+    """Build-once/search-many: parquet index layout, partition-pruned
+    probes, search equality vs the in-memory composition."""
+
+    def test_roundtrip_search_equality(self, emb, tmp_path):
+        from pdfextraction_spark.sources.ann_index import (
+            build_ann_index,
+            ivfpq_topk_indexed,
+            load_ann_index,
+        )
+
+        spark = emb.sparkSession
+        p = str(tmp_path / "ivfpq_index")
+        built = build_ann_index(
+            emb, p, n_centroids=8, m=8, k=16, dim=32,
+            lloyd_iters=1, pq_lloyd_iters=1,
+        )
+        loaded = load_ann_index(spark, p)
+        assert loaded.centroids == built.centroids
+        assert loaded.codebooks == built.codebooks
+        queries = emb.filter(emb.vec_id < 4).select(
+            emb.vec_id.alias("query_id"), "embedding")
+        got = ivfpq_topk_indexed(loaded, queries, k=5, n_probe=3) \
+            .toPandas().sort_values(["query_id", "rank"]) \
+            .reset_index(drop=True)
+        want = S.ivfpq_topk(
+            emb, queries, built.codebooks, centroids=built.centroids,
+            k=5, n_probe=3,
+        ).toPandas().sort_values(["query_id", "rank"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype(want.dtypes.to_dict()), want)
+
+    def test_probe_scan_partition_pruned(self, emb, tmp_path):
+        from pdfextraction_spark.sources.ann_index import (
+            build_ann_index,
+            ivfpq_topk_indexed,
+            load_ann_index,
+        )
+
+        spark = emb.sparkSession
+        p = str(tmp_path / "ivfpq_index2")
+        build_ann_index(emb, p, n_centroids=8, m=8, k=16, dim=32,
+                        lloyd_iters=0, pq_lloyd_iters=0)
+        loaded = load_ann_index(spark, p)
+        queries = emb.filter(emb.vec_id < 2).select(
+            emb.vec_id.alias("query_id"), "embedding")
+        df = ivfpq_topk_indexed(loaded, queries, k=5, n_probe=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the coded scan must carry the probed-list partition filter
+        assert "PartitionFilters" in plan
+        import re
+        pf = [ln for ln in plan.splitlines()
+              if "PartitionFilters" in ln and "list_id" in ln]
+        assert pf, plan
+        assert re.search(r"PartitionFilters: \[[^\]]*list_id", pf[0])
