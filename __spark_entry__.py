@@ -1067,7 +1067,7 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): coarse
     16-cluster assignment (lloyd_iters=0 strided seeds — the oracle
-    config), then within-cluster epsilon-ball pruning at cosine 0.6 —
+    config), then within-cluster epsilon-ball pruning at cosine 0.3 —
     a vector survives iff no smaller-id member of its own cluster is
     that close. The embedding-space counterpart of the text near-dup
     family; production refines centroids with Lloyd and dials

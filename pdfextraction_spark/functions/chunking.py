@@ -149,9 +149,14 @@ def context_windows(
     sums < cum_i - budget} + 1, clamped to i when the turn alone
     overflows.
     """
+    # NULL text counts as 0 tokens (like empty) — without the
+    # coalesce a NULL tok would poison the running-sum accumulator
+    # (the aggregate restarts at 0 after a NULL element, silently
+    # shifting every later window) and crash the numpy path
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     tok = (
-        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
-        .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        F.when(F.length(F.trim(txt)) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(txt), r"\s+")))
         .cast("long")
     )
     base = turns.select(
@@ -235,8 +240,13 @@ def _np_context_windows(base: DataFrame, budget: int) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # key column types follow the INPUT (the expression path keeps
+    # them too — a bigint conv_id or long turn_idx must not be
+    # silently coerced to the fixture's string/int shape)
+    dts = dict(base.dtypes)
     schema = (
-        "conv_id string, turn_idx int, n_tokens long, ctx_start_idx int,"
+        f"conv_id {dts['conv_id']}, turn_idx {dts['turn_idx']},"
+        f" n_tokens long, ctx_start_idx {dts['turn_idx']},"
         " ctx_n_turns int, ctx_tokens long, truncated boolean"
     )
 
@@ -252,11 +262,9 @@ def _np_context_windows(base: DataFrame, budget: int) -> DataFrame:
         return pd.DataFrame(
             {
                 "conv_id": pdf["conv_id"],
-                "turn_idx": pdf["turn_idx"].astype("int32"),
+                "turn_idx": pdf["turn_idx"],
                 "n_tokens": tokv,
-                "ctx_start_idx": pdf["turn_idx"].to_numpy(
-                    dtype=np.int32
-                )[j],
+                "ctx_start_idx": pdf["turn_idx"].to_numpy()[j],
                 "ctx_n_turns": np.where(trunc, 1, i - j + 1).astype(
                     "int32"
                 ),

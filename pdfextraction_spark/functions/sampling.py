@@ -157,7 +157,13 @@ def mixture_weights(
             ).otherwise(weight)
     target = F.floor(F.lit(float(budget_tokens)) * weight).cast("long")
     staged = per.withColumn("__t", target)
-    epochs = F.col("__t") / F.col("n_tokens")
+    # a source with zero available tokens can supply nothing: pin
+    # epochs/sample_rate to 0.0 (Spark's non-ANSI x/0 would yield
+    # NULL here while DuckDB gives +inf -> rate 1.0 — both wrong and
+    # divergent; the oracle mirrors this CASE)
+    epochs = F.when(
+        F.col("n_tokens") > 0, F.col("__t") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
     return staged.select(
         "source",
         "n_docs",

@@ -671,17 +671,18 @@ def ngram_jaccard_join_sql(left_mod: int = 7, n: int = 3,
     """
 
 
-def minhash_lsh_join_sql(left_mod: int = 7, table: str = "documents",
-                         n: int = 3, num_hashes: int = 32,
-                         bands: int = 8,
-                         threshold: float = 0.2) -> str:
-    """Mirror of minhash_lsh_join(portable=True) with the driver's
-    split (left = doc_id % left_mod == 0): md5-prefix signatures over
-    ALL docs, cross-side band-bucket candidates, exact cross-side
-    Jaccard verification."""
+def _minhash_join_ctes(table: str, n: int, num_hashes: int,
+                       bands: int, threshold: float,
+                       left_pred: str, right_pred: str) -> str:
+    """CTE chain ending in ``verified(left_id, right_id, jaccard)`` —
+    the CROSS-SIDE (asymmetric) variant of _minhash_pair_ctes: one
+    signature derivation over ``table``, band-bucket candidates where
+    the a-side satisfies ``left_pred`` and the b-side ``right_pred``
+    ({id} is substituted), exact cross-side Jaccard verification.
+    Single home so minhash_lsh_join_sql and the incremental_update
+    composite can never desynchronize on the signature convention."""
     r = num_hashes // bands
-    return f"""
-        WITH {_shingle_cte(table, n)},
+    return f"""{_shingle_cte(table, n)},
         sig AS (
           SELECT doc_id, i // {r} AS band,
                  string_agg(mh, ',' ORDER BY i) AS key
@@ -697,8 +698,8 @@ def minhash_lsh_join_sql(left_mod: int = 7, table: str = "documents",
           SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
           FROM sig a
           JOIN sig b ON a.band = b.band AND a.key = b.key
-          WHERE a.doc_id % {left_mod} = 0
-            AND b.doc_id % {left_mod} <> 0
+          WHERE ({left_pred.format(id="a.doc_id")})
+            AND ({right_pred.format(id="b.doc_id")})
         ), sizes AS (
           SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
         ), inter AS (
@@ -707,15 +708,33 @@ def minhash_lsh_join_sql(left_mod: int = 7, table: str = "documents",
           JOIN sh a ON a.doc_id = c.left_id
           JOIN sh b ON b.doc_id = c.right_id AND b.s = a.s
           GROUP BY c.left_id, c.right_id
-        )
-        SELECT i.left_id, i.right_id,
-               round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6)
-                 AS jaccard
-        FROM inter i
-        JOIN sizes sa ON sa.doc_id = i.left_id
-        JOIN sizes sb ON sb.doc_id = i.right_id
-        WHERE round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6)
-                >= {threshold}
+        ), verified AS (
+          SELECT i.left_id, i.right_id,
+                 round(i.n_inter * 1.0
+                       / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.left_id
+          JOIN sizes sb ON sb.doc_id = i.right_id
+          WHERE round(i.n_inter * 1.0
+                      / (sa.n_sh + sb.n_sh - i.n_inter), 6)
+                  >= {threshold}
+        )"""
+
+
+def minhash_lsh_join_sql(left_mod: int = 7, table: str = "documents",
+                         n: int = 3, num_hashes: int = 32,
+                         bands: int = 8,
+                         threshold: float = 0.2) -> str:
+    """Mirror of minhash_lsh_join(portable=True) with the driver's
+    split (left = doc_id % left_mod == 0): md5-prefix signatures over
+    ALL docs, cross-side band-bucket candidates, exact cross-side
+    Jaccard verification (shared chain: _minhash_join_ctes)."""
+    return f"""
+        WITH {_minhash_join_ctes(
+            table, n, num_hashes, bands, threshold,
+            left_pred=f"{{id}} % {left_mod} = 0",
+            right_pred=f"{{id}} % {left_mod} <> 0")}
+        SELECT left_id, right_id, jaccard FROM verified
     """
 
 
@@ -1218,10 +1237,13 @@ def mixture_weights_sql(table: str = "documents",
                round(1.0 / ns, 4) AS weight,
                CAST(floor({float(budget_tokens)!r} * (1.0 / ns))
                     AS BIGINT) AS target_tokens,
-               round(floor({float(budget_tokens)!r} * (1.0 / ns))
-                     / n_tokens, 4) AS epochs,
-               round(least(1.0, floor({float(budget_tokens)!r} * (1.0 / ns))
-                                / n_tokens), 4) AS sample_rate
+               round(CASE WHEN n_tokens = 0 THEN 0.0
+                          ELSE floor({float(budget_tokens)!r} * (1.0 / ns))
+                               / n_tokens END, 4) AS epochs,
+               round(least(1.0,
+                     CASE WHEN n_tokens = 0 THEN 0.0
+                          ELSE floor({float(budget_tokens)!r} * (1.0 / ns))
+                               / n_tokens END), 4) AS sample_rate
         FROM per, tot
     """
 
@@ -1231,11 +1253,11 @@ def incremental_update_sql(table: str = "documents", n: int = 3,
                            threshold: float = 0.2) -> str:
     """Mirror of q_incremental_update: the corpus_diff derivation
     (old = minus id%11==5, new = minus id%7==3 with id%5==0 texts
-    amended ' v2'), added/changed docs minhash-LSH joined (portable
-    md5 family — the minhash_lsh_join_sql chain over the NEW snapshot
-    with membership filters) against the retained docs, best match
-    per incoming doc (jaccard desc, id asc), null-free verdict row."""
-    r = num_hashes // bands
+    amended ' v2'), added/changed docs minhash-LSH joined against the
+    retained docs via the SHARED cross-side chain
+    (_minhash_join_ctes over the NEW snapshot with membership
+    predicates), best match per incoming doc (jaccard desc, id asc),
+    null-free verdict row."""
     norm = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
     return f"""
         WITH nsnap AS (
@@ -1254,43 +1276,11 @@ def incremental_update_sql(table: str = "documents", n: int = 3,
                       ELSE 'changed' END AS status
           FROM nfp n LEFT JOIN ofp o ON o.doc_id = n.doc_id
           WHERE o.doc_id IS NULL OR o.fp <> n.fp
-        ), {_shingle_cte("nsnap", n)},
-        sig AS (
-          SELECT doc_id, i // {r} AS band,
-                 string_agg(mh, ',' ORDER BY i) AS key
-          FROM (
-            SELECT doc_id, i,
-                   MIN(substring(md5(i || ':' || s), 1, 16)) AS mh
-            FROM sh,
-              LATERAL (SELECT unnest(generate_series(0, {bands * r - 1})) AS i)
-            GROUP BY doc_id, i
-          ) mh
-          GROUP BY doc_id, band
-        ), cand AS (
-          SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
-          FROM sig a
-          JOIN sig b ON a.band = b.band AND a.key = b.key
-          WHERE a.doc_id IN (SELECT doc_id FROM incoming)
-            AND b.doc_id NOT IN (SELECT doc_id FROM incoming)
-        ), sizes AS (
-          SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
-        ), inter AS (
-          SELECT c.left_id, c.right_id, COUNT(*) AS n_inter
-          FROM cand c
-          JOIN sh a ON a.doc_id = c.left_id
-          JOIN sh b ON b.doc_id = c.right_id AND b.s = a.s
-          GROUP BY c.left_id, c.right_id
-        ), verified AS (
-          SELECT i.left_id, i.right_id,
-                 round(i.n_inter * 1.0
-                       / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
-          FROM inter i
-          JOIN sizes sa ON sa.doc_id = i.left_id
-          JOIN sizes sb ON sb.doc_id = i.right_id
-          WHERE round(i.n_inter * 1.0
-                      / (sa.n_sh + sb.n_sh - i.n_inter), 6)
-                  >= {threshold}
-        ), best AS (
+        ), {_minhash_join_ctes(
+            "nsnap", n, num_hashes, bands, threshold,
+            left_pred="{id} IN (SELECT doc_id FROM incoming)",
+            right_pred="{id} NOT IN (SELECT doc_id FROM incoming)")},
+        best AS (
           SELECT left_id AS doc_id, right_id AS dup_of, jaccard FROM (
             SELECT left_id, right_id, jaccard,
                    row_number() OVER (PARTITION BY left_id

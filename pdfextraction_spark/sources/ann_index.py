@@ -112,8 +112,13 @@ def build_ann_index(
         "j int, code int, vec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "codebooks.parquet"))
+    # row count from the just-written coded parquet (footer metadata
+    # scan — no second decode pass over the corpus) doubles as a
+    # write sanity check
+    n_vectors = spark.read.parquet(
+        os.path.join(path, "coded")).count()
     spark.createDataFrame(
-        [(m, k, dim, len(centroids), embeddings.count())],
+        [(m, k, dim, len(centroids), n_vectors)],
         "m int, k int, dim int, n_centroids int, n_vectors long",
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "meta.parquet"))
@@ -139,6 +144,13 @@ def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
     if any(len(b) != meta.k for b in codebooks):
         raise ValueError(f"corrupt index at {path}: codebook shape "
                          f"mismatch vs meta (m={meta.m}, k={meta.k})")
+    if len(centroids) != meta.n_centroids:
+        raise ValueError(
+            f"corrupt index at {path}: {len(centroids)} centroids on "
+            f"disk vs meta n_centroids={meta.n_centroids} — a probe "
+            "against a different centroid set than the one that "
+            "partitioned the coded corpus would silently return "
+            "wrong neighbors")
     return AnnIndex(path=path, centroids=centroids,
                     codebooks=codebooks, spark=spark)
 

@@ -969,3 +969,26 @@ class TestAnnIndexPersistence:
               if "PartitionFilters" in ln and "list_id" in ln]
         assert pf, plan
         assert re.search(r"PartitionFilters: \[[^\]]*list_id", pf[0])
+
+
+@pytest.mark.slow
+class TestAnnIndexValidation:
+    def test_truncated_centroids_rejected(self, emb, tmp_path):
+        from pdfextraction_spark.sources.ann_index import (
+            build_ann_index,
+            load_ann_index,
+        )
+
+        spark = emb.sparkSession
+        p = str(tmp_path / "idx")
+        built = build_ann_index(emb, p, n_centroids=8, m=8, k=16,
+                                dim=32, lloyd_iters=0, pq_lloyd_iters=0)
+        # simulate a partial centroid write: drop the last row
+        import os
+        spark.createDataFrame(
+            [(i + 1, c) for i, c in enumerate(built.centroids[:-1])],
+            "list_id int, c array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(p, "centroids.parquet"))
+        with pytest.raises(ValueError, match="centroids on"):
+            load_ann_index(spark, p)

@@ -778,3 +778,64 @@ class TestMixtureWeights:
         assert out.loc["spam", "target_tokens"] == 0
         assert out.loc["spam", "sample_rate"] == 0.0
         assert out.loc["web", "target_tokens"] == 100
+
+
+class TestReviewFixesR4:
+    def test_context_windows_null_text_is_zero_tokens(self, spark):
+        import pandas as pd
+
+        from pdfextraction_spark.functions.chunking import context_windows
+
+        rows = [("A", 0, "a b c"), ("A", 1, None), ("A", 2, "d e")]
+        t = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string")
+        out = context_windows(t, budget=10).toPandas() \
+            .set_index("turn_idx").sort_index()
+        # NULL turn counts 0 tokens; the running sum must NOT restart
+        assert out.loc[1, "n_tokens"] == 0
+        assert out.loc[2, "ctx_start_idx"] == 0
+        assert out.loc[2, "ctx_tokens"] == 5
+        v = context_windows(t, budget=10, vectorized=True).toPandas() \
+            .sort_values("turn_idx").reset_index(drop=True)
+        e = out.reset_index()[v.columns].astype(v.dtypes.to_dict())
+        pd.testing.assert_frame_equal(
+            e.sort_values("turn_idx").reset_index(drop=True), v)
+
+    def test_context_windows_vectorized_long_keys(self, spark):
+        import pandas as pd
+
+        from pdfextraction_spark.functions.chunking import context_windows
+
+        rows = [(10**12, 0, "a b"), (10**12, 1, "c d e"),
+                (7, 5, "x y z w")]
+        t = spark.createDataFrame(
+            rows, "conv_id long, turn_idx long, text string")
+        a = context_windows(t, budget=4).toPandas() \
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        b = context_windows(t, budget=4, vectorized=True).toPandas() \
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a.astype(b.dtypes.to_dict()), b)
+        assert a.conv_id.dtype.kind == "i"  # keys keep the input type
+
+    def test_mixture_weights_zero_token_source(self, spark):
+        import duckdb
+        import numpy as np
+
+        from pdfextraction_spark.functions.sampling import mixture_weights
+        from pdfextraction_spark.oracle import portable_sql as P
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d", "web"), (2, "   ", "empty")],
+            "doc_id long, text string, source string",
+        )
+        out = mixture_weights(docs, budget_tokens=10).toPandas() \
+            .set_index("source")
+        assert out.loc["empty", "n_tokens"] == 0
+        assert out.loc["empty", "epochs"] == 0.0
+        assert out.loc["empty", "sample_rate"] == 0.0
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        exp = con.execute(P.mixture_weights_sql(budget_tokens=10)) \
+            .df().set_index("source")
+        for c in ("epochs", "sample_rate", "weight"):
+            assert np.allclose(out[c].sort_index(), exp[c].sort_index())
