@@ -123,6 +123,59 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         spark.stop()
 
 
+def _cmd_ann_build(args: argparse.Namespace) -> int:
+    """Build + persist the IVF-PQ index for an embeddings-shaped
+    parquet table (vec_id, embedding) — the build-once half of the
+    serve path; prints the index meta as JSON."""
+    from .session import build_session
+    from .sources.ann_index import build_ann_index
+
+    spark = build_session("pdfx-ann-build", master=args.master)
+    try:
+        emb = spark.read.parquet(args.input)
+        idx = build_ann_index(
+            emb, args.index, n_centroids=args.n_centroids, m=args.m,
+            k=args.k, dim=args.dim, lloyd_iters=args.lloyd_iters,
+            pq_lloyd_iters=args.pq_lloyd_iters,
+        )
+        meta = spark.read.parquet(
+            os.path.join(args.index, "meta.parquet")).collect()[0]
+        print(json.dumps({"index": args.index,
+                          "n_centroids": len(idx.centroids),
+                          "m": meta.m, "k": meta.k,
+                          "n_vectors": meta.n_vectors}))
+        return 0
+    finally:
+        spark.stop()
+
+
+def _cmd_ann_search(args: argparse.Namespace) -> int:
+    """Top-k search of a query parquet against a persisted index
+    (partition-pruned probes); writes (query_id, vec_id,
+    approx_dist_micros, rank) parquet and prints counts."""
+    from pyspark.sql import functions as F
+
+    from .session import build_session
+    from .sources.ann_index import ivfpq_topk_indexed, load_ann_index
+
+    spark = build_session("pdfx-ann-search", master=args.master)
+    try:
+        idx = load_ann_index(spark, args.index)
+        queries = spark.read.parquet(args.queries).select(
+            F.col(args.query_id_col).alias("query_id"),
+            F.col(args.vec_col).alias("embedding"),
+        )
+        out = ivfpq_topk_indexed(idx, queries, k=args.k,
+                                 n_probe=args.n_probe)
+        out.write.mode(args.mode).parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"queries": queries.count(), "rows": n,
+                          "output": args.output}))
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pdfextraction_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -163,6 +216,34 @@ def main(argv=None) -> int:
     c.add_argument("--mode", default="error",
                    help="parquet write mode (error|overwrite)")
     c.set_defaults(fn=_cmd_curate)
+
+    ab = sub.add_parser("ann-build",
+                        help="build + persist the IVF-PQ index")
+    ab.add_argument("--input", required=True,
+                    help="embeddings-shaped parquet (vec_id, embedding)")
+    ab.add_argument("--index", required=True, help="index output dir")
+    ab.add_argument("--master", default="local[*]")
+    ab.add_argument("--n-centroids", type=int, default=16)
+    ab.add_argument("--m", type=int, default=8)
+    ab.add_argument("--k", type=int, default=16)
+    ab.add_argument("--dim", type=int, default=64)
+    ab.add_argument("--lloyd-iters", type=int, default=1)
+    ab.add_argument("--pq-lloyd-iters", type=int, default=1)
+    ab.set_defaults(fn=_cmd_ann_build)
+
+    asx = sub.add_parser("ann-search",
+                         help="top-k search against a persisted index")
+    asx.add_argument("--index", required=True)
+    asx.add_argument("--queries", required=True,
+                     help="parquet of query vectors")
+    asx.add_argument("--output", required=True)
+    asx.add_argument("--master", default="local[*]")
+    asx.add_argument("--k", type=int, default=10)
+    asx.add_argument("--n-probe", type=int, default=4)
+    asx.add_argument("--query-id-col", default="vec_id")
+    asx.add_argument("--vec-col", default="embedding")
+    asx.add_argument("--mode", default="error")
+    asx.set_defaults(fn=_cmd_ann_search)
 
     f = sub.add_parser("make-fixture", help="write a transcripts fixture")
     f.add_argument("--tier", default="xs", choices=["xs", "s", "bench"])

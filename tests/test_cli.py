@@ -108,3 +108,39 @@ def test_cli_curate_near_dup_stage(tmp_path):
     assert (s["input_docs"] >= s["after_quality_lang"]
             >= s["after_exact_dedup"] >= s["after_near_dedup"]
             >= s["after_repetition_gate"] >= s["selected"] > 0)
+
+
+@pytest.mark.slow
+def test_cli_ann_build_then_search(tmp_path):
+    """ann-build persists the index; ann-search answers top-k from it
+    — the two-process build-once/serve-many deployment shape."""
+    idx = str(tmp_path / "idx")
+    r = subprocess.run(
+        [sys.executable, "-m", "pdfextraction_spark.cli", "ann-build",
+         "--input", "/root/testdata/sf0.001/embeddings.parquet",
+         "--index", idx, "--master", "local[4]",
+         "--n-centroids", "8", "--lloyd-iters", "0",
+         "--pq-lloyd-iters", "0"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta = json.loads(r.stdout.strip().splitlines()[-1])
+    assert meta["n_centroids"] == 8 and meta["n_vectors"] > 0
+    out = str(tmp_path / "hits")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "pdfextraction_spark.cli", "ann-search",
+         "--index", idx,
+         "--queries", "/root/testdata/sf0.001/embeddings.parquet",
+         "--output", out, "--master", "local[4]", "--k", "3",
+         "--n-probe", "2"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    s = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s["rows"] > 0
+    import duckdb
+
+    mx = duckdb.connect().execute(
+        f"select max(rank), count(distinct query_id) from '{out}/*.parquet'"
+    ).fetchone()
+    assert mx[0] <= 3 and mx[1] == s["queries"]
