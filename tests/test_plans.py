@@ -246,3 +246,30 @@ class TestRound4Plans:
                                          "/root/testdata/sf0.001"))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_context_windows_vectorized_shape(self, spark):
+        """Scale path = ONE hash Exchange (repartition by conv) + an
+        in-partition sort + one MapInPandas stage — never a per-group
+        FlatMapGroups dispatch."""
+        from pdfextraction_spark.functions.chunking import context_windows
+
+        turns = spark.createDataFrame(
+            [("a", 0, "x y"), ("a", 1, "z"), ("b", 0, "w")],
+            "conv_id string, turn_idx int, text string",
+        )
+        plan = _plan(context_windows(turns, budget=4, vectorized=True))
+        assert plan.count("Exchange") == 1
+        assert "MapInPandas" in plan
+        assert "FlatMapGroupsInPandas" not in plan
+
+    def test_incremental_update_all_equi_joins(self, spark):
+        """The composite is equi-joins end to end (diff outer join,
+        membership semi/anti, band bucket join, verify joins) — a
+        cartesian anywhere would be the quadratic the asymmetric
+        design exists to avoid."""
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_incremental_update(spark,
+                                             "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
