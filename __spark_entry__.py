@@ -1793,9 +1793,11 @@ def _golden_oracle_sql() -> dict[str, str]:
         "context_windows": f"""
             WITH tk AS (
               SELECT conv_id, turn_idx,
-                CASE WHEN length(trim(extracted_text)) = 0 THEN 0
-                     ELSE len(regexp_split_to_array(trim(extracted_text),
-                                                    '\\s+')) END AS tok
+                CASE WHEN length(trim(coalesce(extracted_text, ''))) = 0
+                       THEN 0
+                     ELSE len(regexp_split_to_array(
+                            trim(coalesce(extracted_text, '')),
+                            '\\s+')) END AS tok
               FROM read_parquet('{t("turns")}')
             ), c AS (
               SELECT conv_id, turn_idx, tok,

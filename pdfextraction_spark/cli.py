@@ -166,7 +166,8 @@ def _cmd_ann_search(args: argparse.Namespace) -> int:
             F.col(args.vec_col).alias("embedding"),
         )
         out = ivfpq_topk_indexed(idx, queries, k=args.k,
-                                 n_probe=args.n_probe)
+                                 n_probe=args.n_probe,
+                                 exclude_self=not args.include_self)
         out.write.mode(args.mode).parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"queries": queries.count(), "rows": n,
@@ -242,6 +243,11 @@ def main(argv=None) -> int:
     asx.add_argument("--n-probe", type=int, default=4)
     asx.add_argument("--query-id-col", default="vec_id")
     asx.add_argument("--vec-col", default="embedding")
+    asx.add_argument("--include-self", action="store_true",
+                     help="keep candidates whose vec_id equals the "
+                          "query id — REQUIRED when query ids come "
+                          "from a different keyspace than the corpus "
+                          "(default drops them: the self-search shape)")
     asx.add_argument("--mode", default="error")
     asx.set_defaults(fn=_cmd_ann_search)
 

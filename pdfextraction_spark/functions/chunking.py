@@ -149,16 +149,16 @@ def context_windows(
     sums < cum_i - budget} + 1, clamped to i when the turn alone
     overflows.
     """
-    # NULL text counts as 0 tokens (like empty) — without the
-    # coalesce a NULL tok would poison the running-sum accumulator
-    # (the aggregate restarts at 0 after a NULL element, silently
-    # shifting every later window) and crash the numpy path
-    txt = F.coalesce(F.col(text_col), F.lit(""))
-    tok = (
-        F.when(F.length(F.trim(txt)) == 0, F.lit(0))
-        .otherwise(F.size(F.split(F.trim(txt), r"\s+")))
-        .cast("long")
-    )
+    # shared token convention (ONE home: text.ws_token_count); NULL
+    # text counts as 0 tokens (like empty) — without the coalesce a
+    # NULL tok would poison the running-sum accumulator (the
+    # aggregate restarts at 0 after a NULL element, silently shifting
+    # every later window) and crash the numpy path
+    from .text import ws_token_count
+
+    tok = ws_token_count(
+        F.coalesce(F.col(text_col), F.lit(""))
+    ).cast("long")
     base = turns.select(
         F.col(conv_col).alias("conv_id"),
         F.col(idx_col).alias("turn_idx"),

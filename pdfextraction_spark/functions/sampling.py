@@ -134,16 +134,29 @@ def mixture_weights(
     aggregation plus a single-row totals cross join (broadcast); the
     whitespace token count is the shared token_stats convention so the
     DuckDB oracle agrees bit-for-bit."""
-    tok = (
-        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
-        .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
-        .cast("long")
-    )
+    from .text import ws_token_count
+
+    tok = ws_token_count(F.col(text_col)).cast("long")
     per = (
         docs.select(F.col(source_col).alias("source"), tok.alias("tok"))
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("n_tokens"))
     )
+    if targets is not None:
+        # a TARGET source absent from the corpus must still get its
+        # row (n_docs/n_tokens 0, its budget slice, rate 0) — silently
+        # dropping it would shrink the planned mix below the budget
+        # with no signal that a requested component is missing
+        want = docs.sparkSession.createDataFrame(
+            [(s,) for s in sorted(targets)], "source string"
+        )
+        per = per.join(want, "source", "full").select(
+            "source",
+            F.coalesce(F.col("n_docs"), F.lit(0).cast("long"))
+            .alias("n_docs"),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+            .alias("n_tokens"),
+        )
     if targets is None:
         tot = per.agg(F.count("*").alias("__ns"))
         per = per.crossJoin(F.broadcast(tot))

@@ -1176,6 +1176,13 @@ def semantic_dedup(
     # stage the norm once per vector; the pair expression is then one
     # dot product + a division (the cosine_near_pairs discipline)
     assigned = assigned.withColumn("n", _norm(F.col("v")))
+    # the final verdict join needs only (vec_id, list_id) — cut its
+    # lineage so the O(n*k*dim) assignment subtree runs for the two
+    # self-join sides, not a third time for the output join (the
+    # lineage-cut discipline; 16 bytes/row bounded). Production
+    # persists the full assignment instead — sources/ann_index.py
+    # writes exactly that layout.
+    slim = assigned.select("vec_id", "list_id").localCheckpoint()
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
         F.col("n").alias("na"), "list_id",
@@ -1198,7 +1205,7 @@ def semantic_dedup(
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
-    return assigned.join(
+    return slim.join(
         dup.withColumn("__dup", F.lit(True)), "vec_id", "left"
     ).select(
         "vec_id",

@@ -140,6 +140,12 @@ def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
         os.path.join(path, "meta.parquet")).collect()[0]
     codebooks: List[List[List[float]]] = [[] for _ in range(meta.m)]
     for r in rows:
+        if not 0 <= r.j < meta.m:
+            raise ValueError(
+                f"corrupt index at {path}: codebook row j={r.j} "
+                f"outside [0, {meta.m}) — refusing a torn write "
+                "(Python negative indexing would silently file it "
+                "under the wrong subspace)")
         codebooks[r.j].append(list(map(float, r.vec)))
     if any(len(b) != meta.k for b in codebooks):
         raise ValueError(f"corrupt index at {path}: codebook shape "
@@ -163,13 +169,20 @@ def ivfpq_topk_indexed(
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
     vectorized: Optional[bool] = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-PQ search over a PERSISTED index: probe lists are computed
     for the (bounded) query batch, collected, and pushed into the
     coded-corpus scan as a ``list_id IN (...)`` partition filter —
     only the probed inverted-list directories are read. Scoring and
     ranking are the shared ADC contract, so output rows match the
-    in-memory ivfpq_topk bit-for-bit (pinned in tests)."""
+    in-memory ivfpq_topk bit-for-bit (pinned in tests).
+
+    ``exclude_self=True`` (the in-memory ivfpq_topk contract) drops a
+    candidate whose vec_id EQUALS the query id — correct when the
+    queries are corpus rows (self-search). Pass ``exclude_self=False``
+    when the query ids come from a DIFFERENT keyspace: a numeric
+    coincidence would otherwise silently delete a true neighbor."""
     vec = _resolve_vectorized(
         vectorized, max(len(index.centroids), len(index.codebooks[0]))
     )
@@ -186,10 +199,10 @@ def ivfpq_topk_indexed(
     tq = _adc_query_tables(queries, index.codebooks, query_id_col,
                            vec_col)
     q = probe_rows.join(tq, "query_id")
-    scored = (
-        coded.join(F.broadcast(q), "list_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id",
-                _adc_score().alias("approx_dist_micros"))
+    scored = coded.join(F.broadcast(q), "list_id")
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id", "vec_id", _adc_score().alias("approx_dist_micros")
     )
     return _adc_rank(scored, k)

@@ -839,3 +839,24 @@ class TestReviewFixesR4:
             .df().set_index("source")
         for c in ("epochs", "sample_rate", "weight"):
             assert np.allclose(out[c].sort_index(), exp[c].sort_index())
+
+
+class TestMixtureTargetsCoverage:
+    def test_absent_target_source_gets_explicit_row(self, spark):
+        from pdfextraction_spark.functions.sampling import mixture_weights
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d", "web")],
+            "doc_id long, text string, source string",
+        )
+        out = mixture_weights(
+            docs, budget_tokens=100,
+            targets={"web": 1.0, "wiki": 1.0},
+        ).toPandas().set_index("source").sort_index()
+        # the requested-but-missing component is VISIBLE, not dropped
+        assert set(out.index) == {"web", "wiki"}
+        assert out.loc["wiki", "n_docs"] == 0
+        assert out.loc["wiki", "n_tokens"] == 0
+        assert out.loc["wiki", "target_tokens"] == 50
+        assert out.loc["wiki", "sample_rate"] == 0.0
+        assert out.loc["web", "target_tokens"] == 50
