@@ -1081,6 +1081,27 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup over the transcripts fixture —
+    the transcript-native dedup unit (a re-ingested conversation is
+    ONE duplicate sample, not N duplicate turns). The fixture has no
+    duplicate conversations, so the query unions in whitespace/case-
+    mangled copies of every conv whose id ends in '0' (~copy ids);
+    the normalized turn-sequence fingerprint collapses them onto the
+    originals. Oracle re-derives the md5-over-ordered-turns chain."""
+    from pdfextraction_spark.functions.dedup import conversation_dedup
+
+    t = _fixture_turns(spark, sf_dir).select(
+        "conv_id", "turn_idx", "text")
+    copies = t.filter(F.col("conv_id").endswith("0")).select(
+        F.concat(F.col("conv_id"), F.lit("~copy")).alias("conv_id"),
+        "turn_idx",
+        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit(" "))
+        .alias("text"),
+    )
+    return conversation_dedup(t.unionByName(copies))
+
+
 def q_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl-increment composite end to end: snapshot diff (same
     derived old/new split as corpus_diff) -> only the added/changed
@@ -1225,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "length_quantiles": q_length_quantiles,
         "semantic_dedup": q_semantic_dedup,
+        "conv_dedup": q_conv_dedup,
         "incremental_update": q_incremental_update,
         "mixture_weights": q_mixture_weights,
         "context_windows": q_context_windows,
@@ -1659,6 +1681,11 @@ def _golden_oracle_sql() -> dict[str, str]:
     fixture tier, which is what the driver's sf0.01 correctness run
     maps to."""
     from fixtures.golden import ensure_golden
+    from pdfextraction_spark.sources.transcripts import (
+        ensure_fixture_parquet,
+    )
+
+    fx = ensure_fixture_parquet("s")
 
     g = ensure_golden("s")
 
@@ -1789,6 +1816,36 @@ def _golden_oracle_sql() -> dict[str, str]:
             SELECT media_id, frame_idx, frame_mean, frame_std,
                    frame_digest, decoded
             FROM read_parquet('{t("video_frames")}')
+        """,
+        "conv_dedup": f"""
+            WITH src AS (
+              SELECT conv_id, turn_idx, text
+              FROM read_parquet('{fx}')
+            ), all_t AS (
+              SELECT conv_id, turn_idx, text FROM src
+              UNION ALL
+              SELECT conv_id || '~copy', turn_idx,
+                     '  ' || upper(text) || ' '
+              FROM src WHERE conv_id LIKE '%0'
+            ), nt AS (
+              SELECT conv_id, turn_idx,
+                regexp_replace(lower(trim(coalesce(text, ''))),
+                               '\\s+', ' ', 'g') AS nt
+              FROM all_t
+            ), fpt AS (
+              SELECT conv_id,
+                     md5(string_agg(nt, chr(30) ORDER BY turn_idx))
+                       AS fp
+              FROM nt GROUP BY conv_id
+            ), grp AS (
+              SELECT fp, MIN(conv_id) AS canonical_id,
+                     COUNT(*) AS group_size
+              FROM fpt GROUP BY fp
+            )
+            SELECT f.conv_id, g.canonical_id,
+                   f.conv_id = g.canonical_id AS is_canonical,
+                   g.group_size
+            FROM fpt f JOIN grp g USING (fp)
         """,
         "context_windows": f"""
             WITH tk AS (

@@ -77,6 +77,7 @@ HEADLINE = [
     "context_windows",
     "curation_funnel_v2",
     "incremental_update",
+    "conv_dedup",
     "semantic_dedup",
     "mixture_weights",
     "extract_tables",

@@ -824,3 +824,60 @@ def incremental_update(
         F.coalesce(F.col("dup_of"), F.lit(-1).cast("long")).alias("dup_of"),
         F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
     )
+
+
+def conversation_dedup(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """CONVERSATION-level exact dedup — the transcript-native unit of
+    deduplication (a multi-turn conversation re-ingested from two
+    feeds is one training sample, not N duplicate turns). Fingerprint
+    = md5 over the turn sequence in turn order: each turn's text is
+    whitespace-normalized + lowercased (the exact_dedup key
+    convention, one home semantically) and the sequence is joined
+    with an \\x1e record separator so turn boundaries can't alias
+    ("a b"+"c" vs "a"+"b c" differ). Output one row per
+    conversation: (conv_id, canonical_id, is_canonical, group_size)
+    with the lexicographically smallest conv_id canonical per group.
+
+    Shape: one shuffle builds the per-conversation ordered turn array
+    (groupBy conv), one hash aggregation groups fingerprints, and the
+    verdict join is keyed on the fixed-width fingerprint. Assumes
+    turn_idx is unique within a conversation (the input contract the
+    extraction pipeline enforces); duplicate turn_idx would make the
+    within-array tie order engine-specific."""
+    norm_turn = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+        r"\s+", " ",
+    )
+    base = turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        norm_turn.alias("nt"),
+    )
+    g = base.groupBy("conv_id").agg(
+        F.sort_array(F.collect_list(F.struct("turn_idx", "nt")))
+        .alias("ts")
+    )
+    fp = F.md5(
+        F.encode(
+            F.array_join(
+                F.transform(F.col("ts"), lambda x: x["nt"]), "\x1e"
+            ),
+            "UTF-8",
+        )
+    )
+    with_fp = g.select("conv_id", fp.alias("fp"))
+    groups = with_fp.groupBy("fp").agg(
+        F.min("conv_id").alias("canonical_id"),
+        F.count("*").alias("group_size"),
+    )
+    return with_fp.join(groups, "fp").select(
+        "conv_id",
+        "canonical_id",
+        (F.col("conv_id") == F.col("canonical_id")).alias("is_canonical"),
+        "group_size",
+    )

@@ -992,3 +992,27 @@ class TestAnnIndexValidation:
             os.path.join(p, "centroids.parquet"))
         with pytest.raises(ValueError, match="centroids on"):
             load_ann_index(spark, p)
+
+
+class TestConversationDedup:
+    def test_mangled_copy_collapses_and_order_matters(self, spark):
+        rows = [
+            ("c1", 0, "Hello  there"), ("c1", 1, "general kenobi"),
+            # whitespace/case-mangled re-ingest of c1
+            ("c9", 0, "  hello THERE"), ("c9", 1, "GENERAL  kenobi "),
+            # same turn texts as c1 but swapped order -> NOT a dup
+            ("c2", 0, "general kenobi"), ("c2", 1, "Hello  there"),
+            # turn-boundary aliasing: "hello there general"+"kenobi"
+            ("c3", 0, "hello there general"), ("c3", 1, "kenobi"),
+            ("c4", 0, None), ("c4", 1, "x"),
+        ]
+        t = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string")
+        out = D.conversation_dedup(t).toPandas().set_index("conv_id")
+        assert out.loc["c9", "canonical_id"] == "c1"
+        assert not bool(out.loc["c9", "is_canonical"])
+        assert out.loc["c1", "group_size"] == 2
+        assert bool(out.loc["c1", "is_canonical"])
+        for c in ("c2", "c3", "c4"):
+            assert bool(out.loc[c, "is_canonical"])
+            assert out.loc[c, "group_size"] == 1
