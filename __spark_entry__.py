@@ -1153,6 +1153,33 @@ def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return context_windows(ex, budget=100, text_col="extracted_text")
 
 
+def q_sft_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT sample assembly — the capstone composition: extraction ->
+    per-turn context windows (100-token budget over EXTRACTED text)
+    -> keep assistant turns with a clean parse and a non-trivial
+    (>= 2-turn) context. Each output row is one training sample: the
+    target turn plus the window of history the model would see.
+    Windows are computed over ALL turns first (context includes user/
+    tool turns) and the role gate applies only to the TARGET — the
+    ordering that makes the samples faithful to serving."""
+    from pdfextraction_spark.functions.chunking import context_windows
+    from pdfextraction_spark.pipeline import extract_dataframe
+
+    ex = extract_dataframe(_fixture_turns(spark, sf_dir), num_partitions=8)
+    cw = context_windows(ex, budget=100, text_col="extracted_text")
+    meta = ex.select("conv_id", "turn_idx", "role", "parse_failed")
+    return (
+        cw.join(meta, ["conv_id", "turn_idx"])
+        .filter(
+            (F.col("role") == "assistant")
+            & ~F.col("parse_failed")
+            & (F.col("ctx_n_turns") >= 2)
+        )
+        .select("conv_id", "turn_idx", "n_tokens", "ctx_start_idx",
+                "ctx_n_turns", "ctx_tokens")
+    )
+
+
 def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data gate: extraction -> language-ID +
     quality scoring on the EXTRACTED text -> filtered corpus rows."""
@@ -1250,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_update": q_incremental_update,
         "mixture_weights": q_mixture_weights,
         "context_windows": q_context_windows,
+        "sft_samples": q_sft_samples,
         "training_filter": q_training_filter,
     }
 
@@ -1846,6 +1874,44 @@ def _golden_oracle_sql() -> dict[str, str]:
                    f.conv_id = g.canonical_id AS is_canonical,
                    g.group_size
             FROM fpt f JOIN grp g USING (fp)
+        """,
+        "sft_samples": f"""
+            WITH tk AS (
+              SELECT conv_id, turn_idx, role, parse_failed,
+                CASE WHEN length(trim(coalesce(extracted_text, ''))) = 0
+                       THEN 0
+                     ELSE len(regexp_split_to_array(
+                            trim(coalesce(extracted_text, '')),
+                            '\\s+')) END AS tok
+              FROM read_parquet('{t("turns")}')
+            ), c AS (
+              SELECT conv_id, turn_idx, role, parse_failed, tok,
+                     SUM(tok) OVER w AS cum,
+                     row_number() OVER w AS rn
+              FROM tk
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ), j AS (
+              SELECT a.conv_id, a.turn_idx, a.role, a.parse_failed,
+                     a.tok, a.cum, a.rn,
+                     min(b.rn) AS jrn,
+                     min(b.turn_idx) AS jidx,
+                     min(b.cum - b.tok) AS jprefix
+              FROM c a LEFT JOIN c b
+                ON a.conv_id = b.conv_id AND b.rn <= a.rn
+               AND (b.cum - b.tok) >= a.cum - 100
+              GROUP BY a.conv_id, a.turn_idx, a.role, a.parse_failed,
+                       a.tok, a.cum, a.rn
+            )
+            SELECT conv_id, turn_idx, CAST(tok AS BIGINT) AS n_tokens,
+                   CAST(coalesce(jidx, turn_idx) AS INTEGER)
+                     AS ctx_start_idx,
+                   CAST(coalesce(rn - jrn + 1, 1) AS INTEGER)
+                     AS ctx_n_turns,
+                   CAST(coalesce(cum - jprefix, tok) AS BIGINT)
+                     AS ctx_tokens
+            FROM j
+            WHERE role = 'assistant' AND NOT parse_failed
+              AND coalesce(rn - jrn + 1, 1) >= 2
         """,
         "context_windows": f"""
             WITH tk AS (

@@ -78,6 +78,7 @@ HEADLINE = [
     "curation_funnel_v2",
     "incremental_update",
     "conv_dedup",
+    "sft_samples",
     "semantic_dedup",
     "mixture_weights",
     "extract_tables",
