@@ -1165,7 +1165,13 @@ def q_sft_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfextraction_spark.functions.chunking import context_windows
     from pdfextraction_spark.pipeline import extract_dataframe
 
-    ex = extract_dataframe(_fixture_turns(spark, sf_dir), num_partitions=8)
+    # one extraction pass: the two consumers below (window build and
+    # the role/parse gate) would otherwise each re-derive the full
+    # extract lineage — materialize the slim projection once
+    ex = extract_dataframe(
+        _fixture_turns(spark, sf_dir), num_partitions=8
+    ).select("conv_id", "turn_idx", "role", "parse_failed",
+             "extracted_text").localCheckpoint()
     cw = context_windows(ex, budget=100, text_col="extracted_text")
     meta = ex.select("conv_id", "turn_idx", "role", "parse_failed")
     return (
@@ -1715,6 +1721,39 @@ def _golden_oracle_sql() -> dict[str, str]:
 
     fx = ensure_fixture_parquet("s")
 
+    def ctx_window_ctes(extra_cols: str = "") -> str:
+        """Shared tk/c/j CTE chain of the budget-100 context-window
+        derivation over golden turns (single home — the
+        context_windows and sft_samples oracles compose it, so the
+        tokenization/window-start semantics can never desynchronize).
+        ``extra_cols`` rides passthrough columns (e.g. ', role')."""
+        return f"""tk AS (
+              SELECT conv_id, turn_idx{extra_cols},
+                CASE WHEN length(trim(coalesce(extracted_text, ''))) = 0
+                       THEN 0
+                     ELSE len(regexp_split_to_array(
+                            trim(coalesce(extracted_text, '')),
+                            '\\s+')) END AS tok
+              FROM read_parquet('{t("turns")}')
+            ), c AS (
+              SELECT conv_id, turn_idx{extra_cols}, tok,
+                     SUM(tok) OVER w AS cum,
+                     row_number() OVER w AS rn
+              FROM tk
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ), j AS (
+              SELECT a.conv_id, a.turn_idx{extra_cols.replace(", ", ", a.") if extra_cols else ""},
+                     a.tok, a.cum, a.rn,
+                     min(b.rn) AS jrn,
+                     min(b.turn_idx) AS jidx,
+                     min(b.cum - b.tok) AS jprefix
+              FROM c a LEFT JOIN c b
+                ON a.conv_id = b.conv_id AND b.rn <= a.rn
+               AND (b.cum - b.tok) >= a.cum - 100
+              GROUP BY a.conv_id, a.turn_idx{extra_cols.replace(", ", ", a.") if extra_cols else ""},
+                       a.tok, a.cum, a.rn
+            )"""
+
     g = ensure_golden("s")
 
     def t(name: str) -> str:
@@ -1857,13 +1896,12 @@ def _golden_oracle_sql() -> dict[str, str]:
               FROM src WHERE conv_id LIKE '%0'
             ), nt AS (
               SELECT conv_id, turn_idx,
-                regexp_replace(lower(trim(coalesce(text, ''))),
-                               '\\s+', ' ', 'g') AS nt
+                md5(regexp_replace(lower(trim(coalesce(text, ''))),
+                                   '\\s+', ' ', 'g')) AS tfp
               FROM all_t
             ), fpt AS (
               SELECT conv_id,
-                     md5(string_agg(nt, chr(30) ORDER BY turn_idx))
-                       AS fp
+                     md5(string_agg(tfp, ',' ORDER BY turn_idx)) AS fp
               FROM nt GROUP BY conv_id
             ), grp AS (
               SELECT fp, MIN(conv_id) AS canonical_id,
@@ -1876,32 +1914,7 @@ def _golden_oracle_sql() -> dict[str, str]:
             FROM fpt f JOIN grp g USING (fp)
         """,
         "sft_samples": f"""
-            WITH tk AS (
-              SELECT conv_id, turn_idx, role, parse_failed,
-                CASE WHEN length(trim(coalesce(extracted_text, ''))) = 0
-                       THEN 0
-                     ELSE len(regexp_split_to_array(
-                            trim(coalesce(extracted_text, '')),
-                            '\\s+')) END AS tok
-              FROM read_parquet('{t("turns")}')
-            ), c AS (
-              SELECT conv_id, turn_idx, role, parse_failed, tok,
-                     SUM(tok) OVER w AS cum,
-                     row_number() OVER w AS rn
-              FROM tk
-              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
-            ), j AS (
-              SELECT a.conv_id, a.turn_idx, a.role, a.parse_failed,
-                     a.tok, a.cum, a.rn,
-                     min(b.rn) AS jrn,
-                     min(b.turn_idx) AS jidx,
-                     min(b.cum - b.tok) AS jprefix
-              FROM c a LEFT JOIN c b
-                ON a.conv_id = b.conv_id AND b.rn <= a.rn
-               AND (b.cum - b.tok) >= a.cum - 100
-              GROUP BY a.conv_id, a.turn_idx, a.role, a.parse_failed,
-                       a.tok, a.cum, a.rn
-            )
+            WITH {ctx_window_ctes(", role, parse_failed")}
             SELECT conv_id, turn_idx, CAST(tok AS BIGINT) AS n_tokens,
                    CAST(coalesce(jidx, turn_idx) AS INTEGER)
                      AS ctx_start_idx,
@@ -1914,30 +1927,7 @@ def _golden_oracle_sql() -> dict[str, str]:
               AND coalesce(rn - jrn + 1, 1) >= 2
         """,
         "context_windows": f"""
-            WITH tk AS (
-              SELECT conv_id, turn_idx,
-                CASE WHEN length(trim(coalesce(extracted_text, ''))) = 0
-                       THEN 0
-                     ELSE len(regexp_split_to_array(
-                            trim(coalesce(extracted_text, '')),
-                            '\\s+')) END AS tok
-              FROM read_parquet('{t("turns")}')
-            ), c AS (
-              SELECT conv_id, turn_idx, tok,
-                     SUM(tok) OVER w AS cum,
-                     row_number() OVER w AS rn
-              FROM tk
-              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
-            ), j AS (
-              SELECT a.conv_id, a.turn_idx, a.tok, a.cum, a.rn,
-                     min(b.rn) AS jrn,
-                     min(b.turn_idx) AS jidx,
-                     min(b.cum - b.tok) AS jprefix
-              FROM c a LEFT JOIN c b
-                ON a.conv_id = b.conv_id AND b.rn <= a.rn
-               AND (b.cum - b.tok) >= a.cum - 100
-              GROUP BY a.conv_id, a.turn_idx, a.tok, a.cum, a.rn
-            )
+            WITH {ctx_window_ctes()}
             SELECT conv_id, turn_idx, CAST(tok AS BIGINT) AS n_tokens,
                    CAST(coalesce(jidx, turn_idx) AS INTEGER)
                      AS ctx_start_idx,

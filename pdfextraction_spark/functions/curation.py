@@ -53,7 +53,7 @@ def curation_funnel_stages(
     gated = docs.filter(
         (quality >= min_quality) & X.is_english(t)
     )
-    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    norm = X.norm_ws_lower(F.col("text"))
     canon = (
         gated.select("doc_id", F.md5(F.encode(norm, "UTF-8")).alias("fp"))
         .groupBy("fp")

@@ -92,7 +92,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     xxhash64 collisions conflate two distinct texts into one group
     (P ~ n^2 / 2^65; ~3e-9 at 10^9 docs). Where that is unacceptable,
     add a second independent seed column to the key."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    from .text import norm_ws_lower
+
+    norm = norm_ws_lower(F.col(text_col))
     return (
         df.select(F.col(id_col).alias("doc_id"), norm.alias("norm_text"))
         .groupBy(F.xxhash64("norm_text").alias("fp"))
@@ -703,9 +705,9 @@ def corpus_diff(
     different surrounding whitespace is 'unchanged', not 'changed'.
     Plan: one full outer join on the id — both sides shuffle once on
     a fixed-width key; no other stage."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))),
-                            r"\s+", " ")
-    fp = F.md5(F.encode(norm, "UTF-8"))
+    from .text import norm_ws_lower
+
+    fp = F.md5(F.encode(norm_ws_lower(F.col(text_col)), "UTF-8"))
 
     def side(df: DataFrame, fp_name: str) -> DataFrame:
         return df.select(F.col(id_col).alias("doc_id"),
@@ -738,9 +740,9 @@ def dup_rate_by_source(
     fingerprints (the exact_dedup key family) and dup_rate =
     1 - n_unique/n_docs rounded to 6dp. One hash aggregation; the
     shuffle key is the group column."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))),
-                            r"\s+", " ")
-    fp = F.md5(F.encode(norm, "UTF-8"))
+    from .text import norm_ws_lower
+
+    fp = F.md5(F.encode(norm_ws_lower(F.col(text_col)), "UTF-8"))
     return (
         df.select(F.col(group_col).alias("source"), fp.alias("fp"))
         .groupBy("source")
@@ -849,23 +851,32 @@ def conversation_dedup(
     turn_idx is unique within a conversation (the input contract the
     extraction pipeline enforces); duplicate turn_idx would make the
     within-array tie order engine-specific."""
-    norm_turn = F.regexp_replace(
-        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
-        r"\s+", " ",
+    from .text import norm_ws_lower
+
+    # per-TURN digest first: only fixed-width 32-char md5 strings
+    # cross the groupBy exchange (the exact_dedup wire rule — raw
+    # corpus text never ships), and a turn text containing a literal
+    # separator byte cannot alias a turn boundary because the joined
+    # units are hex digests
+    turn_fp = F.md5(
+        F.encode(
+            norm_ws_lower(F.coalesce(F.col(text_col), F.lit(""))),
+            "UTF-8",
+        )
     )
     base = turns.select(
         F.col(conv_col).alias("conv_id"),
         F.col(idx_col).alias("turn_idx"),
-        norm_turn.alias("nt"),
+        turn_fp.alias("tfp"),
     )
     g = base.groupBy("conv_id").agg(
-        F.sort_array(F.collect_list(F.struct("turn_idx", "nt")))
+        F.sort_array(F.collect_list(F.struct("turn_idx", "tfp")))
         .alias("ts")
     )
     fp = F.md5(
         F.encode(
             F.array_join(
-                F.transform(F.col("ts"), lambda x: x["nt"]), "\x1e"
+                F.transform(F.col("ts"), lambda x: x["tfp"]), ","
             ),
             "UTF-8",
         )

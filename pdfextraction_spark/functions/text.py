@@ -167,12 +167,22 @@ def pii_counts(col: Column) -> dict:
     return out
 
 
+def norm_ws_lower(col: Column) -> Column:
+    """THE exact-dedup content-normalization key (single home):
+    lowercase, trim, collapse inner whitespace runs to one space.
+    NOTE the trim-BEFORE-collapse ordering is the family convention
+    every green oracle mirrors (a leading tab survives as a leading
+    space); changing the ordering must touch the whole family and
+    its SQL mirrors at once."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
 def fingerprint64(col: Column) -> Column:
     """Deterministic 64-bit document fingerprint (rolling-hash
     analogue): xxhash64 of the whitespace-normalized lowercased text.
     Used for exact-dup detection at scale (shuffle key, not content
     compare)."""
-    return F.xxhash64(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+    return F.xxhash64(norm_ws_lower(col))
 
 
 def winnowed(df, text_col: str = "text", k: int = 8, window: int = 4,

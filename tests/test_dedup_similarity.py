@@ -1016,3 +1016,14 @@ class TestConversationDedup:
         for c in ("c2", "c3", "c4"):
             assert bool(out.loc[c, "is_canonical"])
             assert out.loc[c, "group_size"] == 1
+
+    def test_separator_byte_cannot_alias_boundary(self, spark):
+        # a literal \x1e inside a turn must NOT fake a turn boundary
+        # (per-turn digests are joined, never raw text)
+        rows = [("a", 0, "x\x1ey"), ("b", 0, "x"), ("b", 1, "y")]
+        t = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string")
+        out = D.conversation_dedup(t).toPandas().set_index("conv_id")
+        assert bool(out.loc["a", "is_canonical"])
+        assert bool(out.loc["b", "is_canonical"])
+        assert (out.group_size == 1).all()
