@@ -776,9 +776,14 @@ def incremental_update(
     incoming doc gets a verdict: ``dup_of`` its best retained match
     (highest jaccard, ties -> smallest id) or ``unique``.
 
-    Output, one row per added/changed doc (scalar, null-free):
-    (doc_id, status, verdict, dup_of, jaccard) with dup_of = -1 /
-    jaccard = 0.0 for unique docs.
+    Output, one row per added/changed doc (scalar):
+    (doc_id, status, verdict, dup_of, jaccard) with jaccard = 0.0 for
+    unique docs. The dup_of sentinel for unique docs is type-derived:
+    -1 cast to the id column's own type when ids are NUMERIC (the
+    null-free long contract the driver oracle checks), and NULL when
+    ids are non-numeric (strings) — a '-1' string sentinel would be a
+    silently coerced type shift, and NULL is the honest "no match"
+    for an id space where -1 could be a real key.
 
     Scale shape: the diff is one full outer join on the id; its
     output (the few-% delta) is materialized once (localCheckpoint —
@@ -817,13 +822,24 @@ def incremental_update(
             "jaccard",
         )
     )
+    from pyspark.sql.types import NumericType
+
+    id_type = new.schema[id_col].dataType
+    if isinstance(id_type, NumericType):
+        dup_of_out = F.coalesce(
+            F.col("dup_of"), F.lit(-1).cast(id_type)
+        ).alias("dup_of")
+    else:
+        # non-numeric ids: keep NULL for unique — a coerced '-1'
+        # string would silently shift the documented column type
+        dup_of_out = F.col("dup_of")
     return incoming_ids.join(best, "doc_id", "left").select(
         "doc_id",
         "status",
         F.when(F.col("dup_of").isNull(), F.lit("unique"))
         .otherwise(F.lit("dup_of"))
         .alias("verdict"),
-        F.coalesce(F.col("dup_of"), F.lit(-1).cast("long")).alias("dup_of"),
+        dup_of_out,
         F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
     )
 
@@ -839,11 +855,14 @@ def conversation_dedup(
     feeds is one training sample, not N duplicate turns). Fingerprint
     = md5 over the turn sequence in turn order: each turn's text is
     whitespace-normalized + lowercased (the exact_dedup key
-    convention, one home semantically) and the sequence is joined
-    with an \\x1e record separator so turn boundaries can't alias
-    ("a b"+"c" vs "a"+"b c" differ). Output one row per
-    conversation: (conv_id, canonical_id, is_canonical, group_size)
-    with the lexicographically smallest conv_id canonical per group.
+    convention, one home semantically), digested per turn (md5), and
+    the fixed-width hex digests are joined with ',' — turn boundaries
+    can't alias ("a b"+"c" vs "a"+"b c" differ) because the joined
+    units are constant-length digests, never raw text. This matches
+    the DuckDB oracle's string_agg(tfp, ',') mirror exactly. Output
+    one row per conversation: (conv_id, canonical_id, is_canonical,
+    group_size) with the lexicographically smallest conv_id canonical
+    per group.
 
     Shape: one shuffle builds the per-conversation ordered turn array
     (groupBy conv), one hash aggregation groups fingerprints, and the

@@ -28,7 +28,9 @@ id per node (oracle/portable_sql.py style — exact, engine-portable).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import NumericType
+from pyspark.sql.types import (
+    ByteType, IntegerType, LongType, ShortType,
+)
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
@@ -56,14 +58,17 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
     ).localCheckpoint()
     # convergence probe: labels are per-node monotonically
-    # non-increasing, so for NUMERIC ids the total label sum strictly
+    # non-increasing, so for INTEGRAL ids the total label sum strictly
     # decreases iff any label changed — one reduce per iteration.
-    # Non-numeric ids (string doc keys are legal: the representative
-    # pick is ordering-based on purpose) would cast to null and make
-    # the sum probe terminate after one round with WRONG components,
-    # so they keep the type-agnostic join-based probe.
-    numeric_ids = isinstance(
-        labels.schema["component"].dataType, NumericType
+    # Fractional numerics (double/float/decimal-with-scale) are
+    # excluded: the decimal(38,0) cast ROUNDS, so two distinct labels
+    # can collapse to the same summand and the probe would declare
+    # convergence early with wrong components. Non-integral ids
+    # (strings are legal too: the representative pick is
+    # ordering-based on purpose) keep the type-agnostic join probe.
+    integral_ids = isinstance(
+        labels.schema["component"].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
     )
 
     def _label_sum(df: DataFrame):
@@ -82,7 +87,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             > 0
         )
 
-    prev_sum = _label_sum(labels) if numeric_ids else None
+    prev_sum = _label_sum(labels) if integral_ids else None
     for _ in range(max_iter):
         # neighbor minimum: one shuffle join (edges x labels) + one
         # grouped min — both hash-partial, fixed-width keys
@@ -100,7 +105,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                 ).alias("component"),
             )
         ).localCheckpoint()
-        if numeric_ids:
+        if integral_ids:
             cur_sum = _label_sum(new_labels)
             converged = cur_sum == prev_sum
             prev_sum = cur_sum

@@ -605,34 +605,47 @@ def chunk_documents_sql(chunk_tokens: int = 128, stride: int = 96,
     """
 
 
+def pack_tail_sql(src: str, capacity: int = 128, n_shards: int = 8,
+                  id_col: str = "doc_id", idx_col: str = "chunk_idx",
+                  len_col: str = "n_tokens") -> str:
+    """The pack_chunks mirror TAIL (md5-32 shard bucket, within-shard
+    running sum over (id, idx), integer bin/offset math) over an
+    already-defined CTE ``src`` — single home for the packing
+    contract, composed by pack_chunks_sql and the sft_packed oracle.
+    Returns ``pk_sharded AS (...), pk_cum AS (...) SELECT ...`` for
+    splicing at the end of a WITH chain."""
+    u = _MD5_32.format(expr=f"CAST({id_col} AS VARCHAR)")
+    return f"""pk_sharded AS (
+          SELECT {id_col}, {idx_col}, {len_col},
+                 CAST(floor(({u}) / 4294967296.0 * {n_shards})
+                      AS INTEGER) AS shard
+          FROM {src}
+        ), pk_cum AS (
+          SELECT {id_col}, {idx_col}, {len_col}, shard,
+                 sum({len_col}) OVER (
+                   PARTITION BY shard
+                   ORDER BY {id_col} ASC, {idx_col} ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - {len_col} AS start
+          FROM pk_sharded
+        )
+        SELECT {id_col}, {idx_col}, {len_col}, shard,
+               CAST(start // {capacity} AS BIGINT) AS bin_id,
+               CAST(start % {capacity} AS BIGINT) AS bin_offset
+        FROM pk_cum
+    """
+
+
 def pack_chunks_sql(chunk_tokens: int = 32, stride: int = 24,
                     capacity: int = 128, n_shards: int = 8,
                     table: str = "documents") -> str:
     """Mirror of chunk_documents |> pack_chunks: md5-32 shard bucket,
     within-shard running sum over (doc_id, chunk_idx), integer
-    bin/offset math."""
-    u = _MD5_32.format(expr="CAST(doc_id AS VARCHAR)")
+    bin/offset math (pack_tail_sql, the single home)."""
     chunks = chunk_documents_sql(chunk_tokens, stride, table)
     return f"""
         WITH ch AS ({chunks}),
-        sharded AS (
-          SELECT doc_id, chunk_idx, n_tokens,
-                 CAST(floor(({u}) / 4294967296.0 * {n_shards})
-                      AS INTEGER) AS shard
-          FROM ch
-        ), cum AS (
-          SELECT doc_id, chunk_idx, n_tokens, shard,
-                 sum(n_tokens) OVER (
-                   PARTITION BY shard
-                   ORDER BY doc_id ASC, chunk_idx ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                 ) - n_tokens AS start
-          FROM sharded
-        )
-        SELECT doc_id, chunk_idx, n_tokens, shard,
-               CAST(start // {capacity} AS BIGINT) AS bin_id,
-               CAST(start % {capacity} AS BIGINT) AS bin_offset
-        FROM cum
+        {pack_tail_sql("ch", capacity=capacity, n_shards=n_shards)}
     """
 
 

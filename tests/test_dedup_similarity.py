@@ -911,6 +911,30 @@ class TestIncrementalUpdate:
         )
         assert D.incremental_update(docs, docs).count() == 0
 
+    def test_string_ids_keep_null_sentinel(self, spark):
+        """STRING doc ids: the -1 unique sentinel is numeric-only — a
+        coerced '-1' string would silently shift the dup_of column
+        type, so unique docs keep NULL and dup_of stays the id's own
+        type."""
+        base = "the quick brown fox jumps over the lazy dog " * 3
+        old = spark.createDataFrame(
+            [("a", base)], "doc_id string, text string"
+        )
+        new = spark.createDataFrame(
+            [("a", base),
+             ("b", base + "extra tail words"),
+             ("c", "novel content nothing like the corpus")],
+            "doc_id string, text string",
+        )
+        out = D.incremental_update(old, new, threshold=0.2) \
+            .toPandas().set_index("doc_id").sort_index()
+        assert set(out.index) == {"b", "c"}
+        assert out.loc["b", "verdict"] == "dup_of"
+        assert out.loc["b", "dup_of"] == "a"
+        assert out.loc["c", "verdict"] == "unique"
+        assert out.loc["c", "dup_of"] is None or pd.isna(
+            out.loc["c", "dup_of"])
+
 
 @pytest.mark.slow
 class TestAnnIndexPersistence:

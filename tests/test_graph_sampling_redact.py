@@ -273,3 +273,24 @@ def test_cluster_representatives_best_copy_wins(spark):
     assert out[2].cluster_id == 1 and out[2].cluster_size == 3
     assert out[10].is_representative and not out[11].is_representative
     assert out[20].is_representative and out[20].cluster_size == 1
+
+
+def test_fractional_ids_use_join_probe(spark):
+    """DOUBLE node ids: the decimal(38,0) label-sum probe ROUNDS, so a
+    sub-integer label change (5.4 -> 5.2) leaves the sum equal and the
+    old integral-sum probe would declare convergence one round early.
+    Diameter-3 chain 5.2-5.9-5.4-5.6: round 2's only change is
+    rounding-invisible, yet node 5.6 still needs round 3 to reach the
+    true min 5.2 — the type gate must route doubles to the join probe."""
+    nodes = spark.createDataFrame(
+        [(x,) for x in (5.2, 5.9, 5.4, 5.6)], "doc_id double"
+    )
+    edges = spark.createDataFrame(
+        [(5.2, 5.9), (5.9, 5.4), (5.4, 5.6)],
+        "id_a double, id_b double",
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {5.2: 5.2, 5.9: 5.2, 5.4: 5.2, 5.6: 5.2}
