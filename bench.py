@@ -854,6 +854,14 @@ def _update_history(result: dict) -> list:
             "range": result.get("value_range"),
             "unique_text_tps": result.get("unique_text_tps"),
             "efficiency": (sc or {}).get("efficiency"),
+            # per-query walls per run: single samples on this host swing
+            # up to ~2x, so regressions are only diagnosable as medians
+            # ACROSS runs — keep the full dict each run (rounded; ~75
+            # queries x 20 runs is a few KB)
+            "queries": {
+                q: round(s, 3)
+                for q, s in (result.get("queries") or {}).items()
+            },
         }
     )
     hist = hist[-20:]
@@ -914,11 +922,26 @@ def write_bench_md(result: dict, history: list | None = None) -> None:
         "",
         "## Headline query wall times",
         "",
-        "| query | sec |",
-        "| --- | --- |",
+        "Latest run plus the across-run median (BENCH_HISTORY rows keep",
+        "the full per-query wall dict per run, so a run-over-run jump is",
+        "diagnosable as code vs host noise WITHOUT re-running: compare",
+        "the jump against the median and the run count).",
+        "",
+        "| query | sec (this run) | median across runs | n runs |",
+        "| --- | --- | --- | --- |",
     ]
+    import statistics as _st
+
+    per_q: dict = {}
+    for h in history or []:
+        for q, s in (h.get("queries") or {}).items():
+            per_q.setdefault(q, []).append(s)
     for q, s in (result.get("queries") or {}).items():
-        lines.append(f"| {q} | {s:.3f} |")
+        samples = per_q.get(q, [s])
+        lines.append(
+            f"| {q} | {s:.3f} | {_st.median(samples):.3f} "
+            f"| {len(samples)} |"
+        )
     meds = sorted(h["headline_tps"] for h in (history or [])
                   if h.get("headline_tps"))
     if meds:

@@ -648,6 +648,41 @@ class TestLengthQuantiles:
                            - round(float(np.percentile(toks, p)), 4)) \
                     < 1e-9
 
+    def test_approx_dial_bound(self, spark):
+        """approx=True (percentile_approx, the billion-row mergeable-
+        sketch dial): at accuracy >= n_rows the rank error bound
+        n/accuracy is < 1 row, so the sketch must return the exact
+        lower-neighbor group member — within one inter-value gap of
+        the R-7 interpolated exact value, and an actual member of the
+        group (no interpolation)."""
+        import numpy as np
+
+        from pdfextraction_spark.functions.repetition import (
+            corpus_length_quantiles,
+        )
+
+        rows = [(i, "x " * (i % 17 + 1), "en" if i % 2 else "de")
+                for i in range(60)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string")
+        exact = corpus_length_quantiles(docs).toPandas() \
+            .set_index("stratum")
+        approx = corpus_length_quantiles(
+            docs, approx=True, accuracy=10000
+        ).toPandas().set_index("stratum")
+        assert list(exact.columns) == list(approx.columns)
+        for lang in ("en", "de"):
+            chars = np.sort([len(t) for _, t, lg in rows if lg == lang])
+            gap = float(np.max(np.diff(chars))) if len(chars) > 1 else 0.0
+            members = set(chars.tolist())
+            for p in (25, 50, 75, 90):
+                a = approx.loc[lang, f"p{p}_chars"]
+                e = exact.loc[lang, f"p{p}_chars"]
+                # sketch value is an actual group member ...
+                assert a in members
+                # ... within one inter-value gap of the R-7 exact value
+                assert abs(a - e) <= gap + 1e-9
+
 
 class TestContextWindows:
     """Per-turn context assembly (chat-training budgeted history)."""
