@@ -149,6 +149,24 @@ def _cmd_ann_build(args: argparse.Namespace) -> int:
         spark.stop()
 
 
+def _cmd_ann_append(args: argparse.Namespace) -> int:
+    """Append a new embeddings batch to a persisted index with the
+    FROZEN quantizers (no retrain, no corpus re-encode); prints the
+    staleness report (batch vs build quantization MSE)."""
+    from .session import build_session
+    from .sources.ann_index import append_to_ann_index, load_ann_index
+
+    spark = build_session("pdfx-ann-append", master=args.master)
+    try:
+        idx = load_ann_index(spark, args.index)
+        emb = spark.read.parquet(args.input)
+        stats = append_to_ann_index(idx, emb)
+        print(json.dumps({"index": args.index, **stats}))
+        return 0
+    finally:
+        spark.stop()
+
+
 def _cmd_ann_search(args: argparse.Namespace) -> int:
     """Top-k search of a query parquet against a persisted index
     (partition-pruned probes); writes (query_id, vec_id,
@@ -231,6 +249,17 @@ def main(argv=None) -> int:
     ab.add_argument("--lloyd-iters", type=int, default=1)
     ab.add_argument("--pq-lloyd-iters", type=int, default=1)
     ab.set_defaults(fn=_cmd_ann_build)
+
+    aap = sub.add_parser("ann-append",
+                         help="append a batch to a persisted index "
+                              "(frozen quantizers; prints staleness)")
+    aap.add_argument("--index", required=True)
+    aap.add_argument("--input", required=True,
+                     help="embeddings-shaped parquet of NEW vectors "
+                          "(ids must not collide with the corpus — "
+                          "dedup upstream)")
+    aap.add_argument("--master", default="local[*]")
+    aap.set_defaults(fn=_cmd_ann_append)
 
     asx = sub.add_parser("ann-search",
                          help="top-k search against a persisted index")

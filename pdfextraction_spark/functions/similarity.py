@@ -368,6 +368,53 @@ def np_pq_encode_udf(codebooks: List[List[List[float]]]):
     return encode
 
 
+def np_pq_recon_err_udf(codebooks: List[List[List[float]]]):
+    """Per-vector squared PQ reconstruction error (Arrow-batch numpy):
+    for each subspace, the (6dp-rounded, argmin-first — the encode
+    tie/rounding contract) distance to the NEAREST codeword, summed
+    over subspaces. That sum is exactly ||v - reconstruction(v)||^2
+    for the code pq_encode would assign, so averaging it over a batch
+    gives the batch's quantization MSE without materializing codes."""
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, k, d_sub)
+    m, _, d_sub = B.shape
+
+    @pandas_udf("double")
+    def err(v: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(x, dtype=np.float64) for x in v],
+                     dtype=np.float64)
+        if M.size == 0:
+            return pd.Series([], dtype=np.float64)
+        out = np.zeros(M.shape[0], dtype=np.float64)
+        for j in range(m):
+            sub = M[:, j * d_sub:(j + 1) * d_sub]
+            diff = sub[:, None, :] - B[j][None, :, :]
+            d = np.round(np.einsum("rkd,rkd->rk", diff, diff), 6)
+            out += d[np.arange(d.shape[0]), np.argmin(d, axis=1)]
+        return pd.Series(out)
+
+    return err
+
+
+def pq_quantization_mse(
+    embeddings: DataFrame,
+    codebooks: List[List[List[float]]],
+    vec_col: str = "embedding",
+) -> float:
+    """Mean squared PQ reconstruction error of ``embeddings`` under
+    ``codebooks`` — the index-staleness probe: a fresh crawl batch
+    whose MSE is far above the build-time MSE is drifting away from
+    the frozen quantizers (retrain signal). One scan, one avg
+    aggregation, a single-double collect — corpus-scale safe."""
+    row = embeddings.select(
+        np_pq_recon_err_udf(codebooks)(
+            _as_double(F.col(vec_col))
+        ).alias("__e")
+    ).agg(F.avg("__e").alias("mse")).collect()[0]
+    return float(row.mse) if row.mse is not None else 0.0
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebooks: List[List[List[float]]],

@@ -44,9 +44,22 @@ from ..functions.similarity import (
     _probe_lists,
     _resolve_vectorized,
     pq_encode,
+    pq_quantization_mse,
     pq_train_codebooks,
     train_ivf_centroids,
 )
+
+
+def _write_meta(spark: SparkSession, path: str, m: int, k: int,
+                dim: int, n_centroids: int, n_vectors: int,
+                quant_mse: float) -> None:
+    """Single home for the meta row (build + append both write it)."""
+    spark.createDataFrame(
+        [(m, k, dim, n_centroids, n_vectors, float(quant_mse))],
+        "m int, k int, dim int, n_centroids int, n_vectors long, "
+        "quant_mse double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "meta.parquet"))
 
 
 @dataclass
@@ -75,6 +88,8 @@ def build_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: Optional[bool] = None,
+    centroids: Optional[List[List[float]]] = None,
+    codebooks: Optional[List[List[List[float]]]] = None,
 ) -> AnnIndex:
     """Train both quantizers, encode + coarse-assign the corpus in
     one pass, and persist the whole index under ``path``.
@@ -82,16 +97,23 @@ def build_ann_index(
     The coded write is the only corpus-sized job (one scan -> one
     partitioned write); everything else is bounded metadata. The
     production config dial (`vectorized=None`) flips the Arrow/numpy
-    paths above the literal-plan walls exactly like ivfpq_topk."""
+    paths above the literal-plan walls exactly like ivfpq_topk.
+
+    Pass ``centroids``/``codebooks`` to build with FROZEN quantizers
+    instead of training — the rebuild-after-appends shape (and the
+    yardstick the build+append ≡ rebuild equality test pins)."""
     spark = embeddings.sparkSession
-    centroids = train_ivf_centroids(
-        embeddings, n_centroids, id_col=id_col, vec_col=vec_col,
-        lloyd_iters=lloyd_iters, vectorized=vectorized,
-    )
-    codebooks = pq_train_codebooks(
-        embeddings, m=m, k=k, dim=dim, id_col=id_col, vec_col=vec_col,
-        lloyd_iters=pq_lloyd_iters, vectorized=vectorized,
-    )
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_centroids, id_col=id_col, vec_col=vec_col,
+            lloyd_iters=lloyd_iters, vectorized=vectorized,
+        )
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            embeddings, m=m, k=k, dim=dim, id_col=id_col,
+            vec_col=vec_col, lloyd_iters=pq_lloyd_iters,
+            vectorized=vectorized,
+        )
     vec = _resolve_vectorized(vectorized, max(len(centroids), k))
     assigned = _coarse_assigned(embeddings, centroids, vec,
                                 id_col, vec_col)
@@ -117,11 +139,13 @@ def build_ann_index(
     # write sanity check
     n_vectors = spark.read.parquet(
         os.path.join(path, "coded")).count()
-    spark.createDataFrame(
-        [(m, k, dim, len(centroids), n_vectors)],
-        "m int, k int, dim int, n_centroids int, n_vectors long",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "meta.parquet"))
+    # build-time quantization MSE: the staleness yardstick later
+    # appends compare against (one scan + avg — corpus-scale safe)
+    build_mse = pq_quantization_mse(embeddings, codebooks,
+                                    vec_col=vec_col)
+    _write_meta(spark, path, m=m, k=k, dim=dim,
+                n_centroids=len(centroids), n_vectors=n_vectors,
+                quant_mse=build_mse)
     return AnnIndex(path=path, centroids=centroids,
                     codebooks=codebooks, spark=spark)
 
@@ -159,6 +183,63 @@ def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
             "wrong neighbors")
     return AnnIndex(path=path, centroids=centroids,
                     codebooks=codebooks, spark=spark)
+
+
+def append_to_ann_index(
+    index: AnnIndex,
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: Optional[bool] = None,
+) -> dict:
+    """Incremental index maintenance: encode a new batch with the
+    index's FROZEN quantizers and append it to the matching
+    inverted-list partitions — a crawl increment lands in the served
+    index without re-paying training or the full-corpus encode.
+    (`mode("append")` + `partitionBy(list_id)` writes only the new
+    files into each probed directory; existing files are untouched,
+    so a concurrent search never sees a torn list.)
+
+    Caller contract: batch ids must be new (append does not dedup
+    against the corpus — run `incremental_update`/`corpus_diff`
+    upstream, the crawl-increment pipeline shape).
+
+    Returns the staleness report: ``batch_quant_mse`` (the new
+    batch's quantization MSE under the frozen codebooks) vs
+    ``build_quant_mse`` (recorded in meta at build time) and their
+    ratio — a batch whose ratio drifts well above 1 is no longer
+    well-represented by the frozen quantizers (retrain signal).
+    """
+    spark = index.spark
+    meta = spark.read.parquet(
+        os.path.join(index.path, "meta.parquet")).collect()[0]
+    vec = _resolve_vectorized(
+        vectorized, max(len(index.centroids), meta.k)
+    )
+    assigned = _coarse_assigned(embeddings, index.centroids, vec,
+                                id_col, vec_col)
+    coded = pq_encode(assigned, index.codebooks, "vec_id", "v",
+                      vectorized=vec, keep=("list_id",))
+    coded.select("vec_id", "codes", "list_id").write.partitionBy(
+        "list_id"
+    ).mode("append").parquet(os.path.join(index.path, "coded"))
+    n_appended = embeddings.count()
+    batch_mse = pq_quantization_mse(embeddings, index.codebooks,
+                                    vec_col=vec_col)
+    build_mse = float(meta.asDict().get("quant_mse") or 0.0)
+    _write_meta(spark, index.path, m=meta.m, k=meta.k, dim=meta.dim,
+                n_centroids=meta.n_centroids,
+                n_vectors=meta.n_vectors + n_appended,
+                quant_mse=build_mse)
+    return {
+        "n_appended": int(n_appended),
+        "n_vectors": int(meta.n_vectors + n_appended),
+        "batch_quant_mse": batch_mse,
+        "build_quant_mse": build_mse,
+        "staleness_ratio": (batch_mse / build_mse
+                            if build_mse > 0 else float("inf")
+                            if batch_mse > 0 else 1.0),
+    }
 
 
 def ivfpq_topk_indexed(

@@ -126,6 +126,28 @@ def test_cli_ann_build_then_search(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     meta = json.loads(r.stdout.strip().splitlines()[-1])
     assert meta["n_centroids"] == 8 and meta["n_vectors"] > 0
+    # ann-append: a disjoint-id batch lands in the served index with
+    # the frozen quantizers and reports its staleness vs build MSE
+    import duckdb as _dd
+
+    batch = str(tmp_path / "batch.parquet")
+    _dd.connect().execute(
+        "COPY (SELECT vec_id + 1000000 AS vec_id, embedding FROM "
+        "'/root/testdata/sf0.001/embeddings.parquet' USING SAMPLE "
+        "reservoir(20 ROWS) REPEATABLE (42)) TO "
+        f"'{batch}' (FORMAT PARQUET)"
+    )
+    r_app = subprocess.run(
+        [sys.executable, "-m", "pdfextraction_spark.cli", "ann-append",
+         "--index", idx, "--input", batch, "--master", "local[4]"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert r_app.returncode == 0, r_app.stderr[-2000:]
+    app = json.loads(r_app.stdout.strip().splitlines()[-1])
+    assert app["n_appended"] == 20
+    assert app["n_vectors"] == meta["n_vectors"] + 20
+    assert app["build_quant_mse"] > 0
+    assert app["batch_quant_mse"] > 0
     out = str(tmp_path / "hits")
     r2 = subprocess.run(
         [sys.executable, "-m", "pdfextraction_spark.cli", "ann-search",

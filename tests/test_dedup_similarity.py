@@ -970,6 +970,80 @@ class TestAnnIndexPersistence:
         pd.testing.assert_frame_equal(
             got.astype(want.dtypes.to_dict()), want)
 
+    def test_append_equals_rebuild(self, emb, tmp_path):
+        """Incremental maintenance: build on 9 of every cluster's 10
+        points, append the held-out tenth (same distribution — an
+        id-range split would put whole UNSEEN clusters in the batch
+        and trip the drift signal) with the FROZEN quantizers — search
+        results must be bit-identical to a from-scratch build of the
+        full corpus under the same quantizers (the rebuild a
+        non-incremental pipeline would pay), and meta must carry the
+        summed vector count."""
+        from pdfextraction_spark.sources.ann_index import (
+            append_to_ann_index,
+            build_ann_index,
+            ivfpq_topk_indexed,
+            load_ann_index,
+        )
+
+        spark = emb.sparkSession
+        old = emb.filter(emb.vec_id % 10 < 9)
+        new = emb.filter(emb.vec_id % 10 == 9)
+        p_inc = str(tmp_path / "idx_incremental")
+        built = build_ann_index(
+            old, p_inc, n_centroids=8, m=8, k=16, dim=32,
+            lloyd_iters=1, pq_lloyd_iters=1,
+        )
+        stats = append_to_ann_index(load_ann_index(spark, p_inc), new)
+        assert stats["n_appended"] == 30
+        assert stats["n_vectors"] == 300
+        assert stats["build_quant_mse"] > 0
+        # same clustered distribution -> the frozen quantizers still
+        # represent the batch (no drift)
+        assert 0.5 < stats["staleness_ratio"] < 2.0
+        meta = spark.read.parquet(p_inc + "/meta.parquet").collect()[0]
+        assert meta.n_vectors == 300
+        p_full = str(tmp_path / "idx_rebuild")
+        build_ann_index(
+            emb, p_full, n_centroids=8, m=8, k=16, dim=32,
+            centroids=built.centroids, codebooks=built.codebooks,
+        )
+        queries = emb.filter(emb.vec_id % 50 == 0).select(
+            emb.vec_id.alias("query_id"), "embedding")
+
+        def run(path):
+            return ivfpq_topk_indexed(
+                load_ann_index(spark, path), queries, k=5, n_probe=3
+            ).toPandas().sort_values(["query_id", "rank"]) \
+                .reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(run(p_inc), run(p_full))
+
+    def test_append_staleness_signal(self, emb, tmp_path):
+        """A drifted batch (shifted distribution) must show a
+        quantization MSE well above build-time — the retrain signal
+        the staleness ratio exists to surface."""
+        from pdfextraction_spark.sources.ann_index import (
+            append_to_ann_index,
+            build_ann_index,
+            load_ann_index,
+        )
+
+        from pyspark.sql import functions as F
+
+        spark = emb.sparkSession
+        p = str(tmp_path / "idx_drift")
+        build_ann_index(emb, p, n_centroids=8, m=8, k=16, dim=32,
+                        lloyd_iters=1, pq_lloyd_iters=1)
+        drifted = emb.select(
+            (emb.vec_id + 1000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * F.lit(3.0) + F.lit(2.0)
+            ).alias("embedding"),
+        )
+        stats = append_to_ann_index(load_ann_index(spark, p), drifted)
+        assert stats["staleness_ratio"] > 3.0
+
     def test_probe_scan_partition_pruned(self, emb, tmp_path):
         from pdfextraction_spark.sources.ann_index import (
             build_ann_index,
