@@ -413,7 +413,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.5,
-                      portable: bool = False) -> DataFrame:
+                      portable: bool = False,
+                      bucket_cap: int | None = None) -> DataFrame:
     """LSH candidate pairs (banding) verified by exact shingle Jaccard.
 
     bands of r = num_hashes/bands rows; a pair colliding in ANY band is
@@ -423,22 +424,85 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     raw comma-joined band key instead of hashing it — the whole
     candidate set is then reproducible in the DuckDB oracle. The
     default keeps xxhash64 longs end to end (fixed-width shuffle
-    keys, the 100 TB path)."""
+    keys, the 100 TB path).
+
+    ``bucket_cap`` is the SATURATED-BUCKET dial for the crawl-mirror
+    failure mode: a near-identical cluster holding x% of the corpus
+    puts all its members in the SAME bucket of every band, so the
+    bucket self-join — and the true pair output itself — is
+    quadratic in the cluster size; no all-pairs formulation can stay
+    linear because the answer isn't. With ``bucket_cap=c``, one side
+    of each bucket's join is a deterministic hash-sample of ~c
+    representatives (rows where xxhash64(doc_id) falls in the
+    1/ceil(size/c) slice — no per-bucket sort, so a giant bucket
+    never serializes onto one task, and the doc_id-keyed sample keeps
+    the SAME reps across bands so the multi-band union stays capped),
+    giving ~c x size pairs per bucket instead of size^2. Emitted pairs still pass exact-Jaccard
+    verification (precision unchanged); PAIR recall in saturated
+    buckets becomes partial BY DESIGN, while cluster CONNECTIVITY is
+    preserved: every bucket member joins against every sampled rep
+    (orientation by least/greatest id, so members below the smallest
+    rep keep their edges), and reps miss entirely with probability
+    ~e^-c (use c >= 8). Default None keeps the exact all-pairs
+    contract (the driver-oracle path)."""
     r = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, portable)
     bucket_rows = _band_bucket_rows(sigs, bands, r, portable)
-    a = bucket_rows.alias("a")
-    b = bucket_rows.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if bucket_cap is not None:
+        sizes = bucket_rows.groupBy("band", "bucket").agg(
+            F.count("*").alias("__bsz")
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+        # stride rounded UP to a power of two: rep sets are then
+        # NESTED across buckets of different sizes (hash%16==0 is a
+        # subset of hash%8==0), so a cluster split over buckets of
+        # varying size still yields ONE small rep union instead of
+        # the union of unrelated per-stride samples
+        stride = F.pow(
+            F.lit(2.0),
+            F.ceil(F.log2(F.ceil(F.col("__bsz") / F.lit(bucket_cap)))),
+        ).cast("long")
+        reps = (
+            bucket_rows.join(sizes, ["band", "bucket"])
+            .filter(
+                (F.col("__bsz") <= F.lit(bucket_cap))
+                # sample keyed on doc_id ALONE: the same docs are reps
+                # in every band, so the union of per-band pairs stays
+                # ~cap x size — a per-(band,bucket) key would pick
+                # DIFFERENT reps per band and the 16-band union would
+                # rebuild all-pairs
+                | (F.pmod(F.xxhash64("doc_id"), stride) == 0)
+            )
+            .drop("__bsz")
+        )
+        a = reps.alias("a")
+        b = bucket_rows.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("id_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+            )
+            .distinct()
+        )
+    else:
+        a = bucket_rows.alias("a")
+        b = bucket_rows.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct()
+        )
     sh = with_shingles(df, text_col, id_col, n)
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))

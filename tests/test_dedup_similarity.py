@@ -72,6 +72,53 @@ class TestDedup:
         merged = truth.merge(got, on=["id_a", "id_b"], suffixes=("_t", "_g"))
         assert (merged["jaccard_t"] == merged["jaccard_g"]).all()
 
+    def test_bucket_cap_bounds_pairs_keeps_component(self, spark):
+        """Saturated-bucket dial (crawl-mirror failure mode): a
+        120-member near-identical cluster makes the true pair output
+        itself quadratic (C(120,2)=7140 pairs); bucket_cap=8 must cut
+        the emitted pair list to ~cap x size while the capped pairs
+        still connect the WHOLE cluster into one component — the
+        property clustering consumers (components/representatives)
+        actually need."""
+        from pdfextraction_spark.operators.graph import (
+            connected_components,
+        )
+
+        rng = np.random.default_rng(3)
+        vocab = [f"w{i}" for i in range(500)]
+        base = list(rng.choice(vocab, size=60))
+        rows = []
+        for i in range(120):  # the planted mirror cluster: ids 0..119
+            mut = list(base)
+            j = int(rng.integers(0, 60))
+            mut[j] = vocab[int(rng.integers(0, 500))]
+            rows.append((i, " ".join(mut)))
+        for i in range(120, 220):  # background singletons
+            rows.append(
+                (i, " ".join(rng.choice(vocab, size=40))))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        full = D.minhash_lsh_pairs(docs, threshold=0.5,
+                                   num_hashes=32, bands=16).toPandas()
+        capped = D.minhash_lsh_pairs(docs, threshold=0.5,
+                                     num_hashes=32, bands=16,
+                                     bucket_cap=8).toPandas()
+        n_cluster_full = len(full[(full.id_a < 120) & (full.id_b < 120)])
+        n_cluster_capped = len(
+            capped[(capped.id_a < 120) & (capped.id_b < 120)])
+        assert n_cluster_full >= 6500  # ~all-pairs without the cap
+        assert n_cluster_capped < n_cluster_full / 4
+        # capped pairs are a subset of the verified truth
+        assert (set(zip(capped.id_a, capped.id_b))
+                <= set(zip(full.id_a, full.id_b)))
+        # ... and still connect the whole cluster into ONE component
+        nodes = docs.select("doc_id")
+        edges = spark.createDataFrame(
+            capped[["id_a", "id_b"]], "id_a long, id_b long")
+        comp = connected_components(nodes, edges).toPandas()
+        cluster = comp[comp.node < 120]
+        assert cluster.component.nunique() == 1
+        assert (cluster.component == 0).all()
+
     def test_simhash_exact_dups_collide(self, docs, spark):
         sh = D.simhash64(docs).toPandas()
         texts = docs.toPandas().set_index("doc_id")["text"]
