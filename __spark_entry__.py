@@ -1,12 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship extraction pipeline on the
-deterministic transcripts fixture. ``queries()`` exposes one entry per
-implemented operator family from SURVEY.md §2 (+ the training-data
-additions); every SQL-expressible query has a DuckDB oracle in
-``oracle_sql()`` with matching column names/types. Extraction queries
-over the synthesized transcripts fixture are rows-only checks (their
-correctness gate is the pytest golden-equality suite).
+deterministic transcripts fixture. ``queries()`` is the ORDERED driver
+registry (one entry per implemented operator family from SURVEY.md §2
+plus the training-data additions); the query bodies live in
+``pdfextraction_spark/queries/`` by family and the DuckDB oracles in
+``pdfextraction_spark/oracle/driver_oracles.py`` under the same keys.
+Extraction queries over the synthesized transcripts fixture are
+rows-only checks (their correctness gate is the pytest golden-equality
+suite).
 """
 
 from __future__ import annotations
@@ -15,28 +17,93 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-_STOPWORDS_SQL = "('the','and','of','to','a','in','is','it','for','on','with','as','was','at','by','an','be','this','that','or')"
-_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+from pdfextraction_spark.queries import (  # noqa: F401
+    q_ann_ivf,
+    q_ann_ivfpq,
+    q_ann_ivfpq_indexed,
+    q_ann_lsh,
+    q_ann_topk,
+    q_apply_corrections,
+    q_asof_latest_click,
+    q_audio_features,
+    q_chunk_documents,
+    q_classify_blocks,
+    q_cluster_reps,
+    q_contamination,
+    q_context_windows,
+    q_conv_dedup,
+    q_conv_schema,
+    q_corpus_diff,
+    q_corpus_token_stats,
+    q_cosine_blocked,
+    q_cosine_near_join,
+    q_cosine_near_pairs,
+    q_curation_funnel,
+    q_curation_funnel_v2,
+    q_dataset_split,
+    q_dedup_clusters,
+    q_dedup_exact,
+    q_doc_fingerprint,
+    q_dup_rate_by_source,
+    q_extract_metrics,
+    q_extract_tables,
+    q_extract_turns,
+    q_extraction_anomalies,
+    q_fence_json,
+    q_final_json,
+    q_format_pairs,
+    q_group_stats,
+    q_hash_sample,
+    q_hot_shingles,
+    q_hypertable_rollup,
+    q_image_features,
+    q_incremental_update,
+    q_json_extract,
+    q_length_quantiles,
+    q_longest_wins,
+    q_merge_conv_fields,
+    q_merge_tables,
+    q_minhash_lsh,
+    q_minhash_lsh_join,
+    q_mixture_weights,
+    q_monthly_rollup,
+    q_ngram_jaccard,
+    q_ngram_jaccard_join,
+    q_ordered_accumulate,
+    q_pack_chunks,
+    q_pq_adc_topk,
+    q_pq_encode,
+    q_quota_sample,
+    q_range_band_join,
+    q_redact_pii,
+    q_render_pages,
+    q_repetition_stats,
+    q_schema_norm,
+    q_semantic_dedup,
+    q_sessionize,
+    q_sft_packed,
+    q_sft_samples,
+    q_simhash_pairs,
+    q_simhash_sketch,
+    q_spacing_stats,
+    q_table_anomalies,
+    q_text_guards,
+    q_tfidf_topk,
+    q_token_stats,
+    q_topk_recent,
+    q_training_filter,
+    q_trigram_lang,
+    q_usage_costs,
+    q_video_frames,
+    q_windowed_sums,
+    q_winnow,
+    q_winnow_containment,
+)
 
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-
-
-def _fixture_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic transcripts fixture sized to the sf tier."""
-    from pdfextraction_spark.sources.transcripts import ensure_fixture_parquet
-
-    tier = "xs" if sf_dir.rstrip("/").endswith("sf0.001") else "s"
-    return spark.read.parquet(ensure_fixture_parquet(tier))
-
-
-# --------------------------------------------------------------------------
-# flagship
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline over the xs transcripts
@@ -46,1225 +113,6 @@ def entry(spark: SparkSession) -> DataFrame:
 
     turns = spark.read.parquet(ensure_fixture_parquet("xs"))
     return extract_dataframe(turns, num_partitions=4)
-
-
-# --------------------------------------------------------------------------
-# SQL-checkable operator queries (SURVEY.md §2 -> /root/testdata tables)
-
-def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1/W2/W3 sessionization (gap-detection over ordered sequences,
-    spatial_preprocessor.py:184-296) on the events stream: 30-min gap
-    starts a new session."""
-    ev = _t(spark, sf_dir, "events")
-    # parquet timestamps are NTZ; cast via timestamp for epoch seconds
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = epoch - F.lag(epoch).over(w)
-    brk = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    sess = ev.withColumn(
-        "session_id",
-        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return sess.groupBy("user_id", "session_id").agg(
-        F.count("*").alias("n_events"),
-        (F.max(epoch) - F.min(epoch)).alias("dur_sec"),
-    )
-
-
-def q_longest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5/U1 conflict merge (result_merger.py:93-120): per source, the
-    longest document wins; ties to the smallest doc_id; conflicts
-    flagged when >1 distinct text."""
-    docs = _t(spark, sf_dir, "documents")
-    pick = F.struct(F.length("text").alias("l"), (-F.col("doc_id")).alias("i"))
-    return docs.groupBy("source").agg(
-        F.max_by("doc_id", pick).alias("best_doc_id"),
-        F.max(F.length("text")).cast("long").alias("best_len"),
-        F.count("*").alias("n_docs"),
-        (F.count_distinct("text") > 1).alias("conflict_detected"),
-    )
-
-
-def q_topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W8/O4 top-k (storage.py:169-173): 10 most recent events."""
-    return (
-        _t(spark, sf_dir, "events")
-        .orderBy(F.desc("ts"), F.asc("event_id"))
-        .limit(10)
-        .select("event_id", "ts", "event_type")
-    )
-
-
-def q_windowed_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 windowed cost analysis (cost_tracker.py:108-164): time-range
-    filter then per-type sums."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.filter(
-            (F.col("ts") >= F.lit("2024-01-02"))
-            & (F.col("ts") < F.lit("2024-01-05"))
-        )
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
-        )
-    )
-
-
-def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A3 grouped min/max/avg stats (word-spacing & bbox analogues)
-    on lineitem."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.min("l_quantity").alias("min_qty"),
-        F.max("l_quantity").alias("max_qty"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-    )
-
-
-def q_ordered_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 ordered row accumulation (result_merger.py:122-144): line
-    items accumulated in line-number order per order."""
-    li = _t(spark, sf_dir, "lineitem")
-    acc = F.array_join(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("l_linenumber").alias("ln"),
-                        F.col("l_quantity").cast("int").alias("q"),
-                    )
-                )
-            ),
-            lambda s: F.concat_ws(":", s["ln"].cast("string"), s["q"].cast("string")),
-        ),
-        ",",
-    )
-    return (
-        li.groupBy("l_orderkey")
-        .agg(
-            F.count("*").alias("n_lines"),
-            acc.alias("acc"),
-            (F.count_distinct(F.col("l_quantity").cast("int")) > 1).alias("mixed_rows"),
-        )
-    )
-
-
-def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10/X22 + training-data text analysis: whitespace + BPE-ish
-    token counts, punctuation/stopword ratios, quality score, lang-ID."""
-    from pdfextraction_spark.functions import text as X
-
-    docs = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        X.ws_token_count(t).cast("long").alias("n_ws_tokens"),
-        X.bpe_token_count(t).cast("long").alias("n_bpe_tokens"),
-        F.round(X.punct_ratio(t), 4).alias("punct_ratio"),
-        F.round(X.stopword_ratio(t), 4).alias("stopword_ratio"),
-        F.round(X.quality_score(t), 4).alias("quality"),
-        X.is_english(t).alias("is_en"),
-        (X.ws_token_count(t) >= 3).alias("table_hint"),
-    )
-
-
-def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X15/X16 JSON payload parsing (openai_service.py:72-157) on
-    events.props."""
-    ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return ev.groupBy((k % 10).alias("k_mod")).agg(
-        F.count("*").alias("n"), F.max(k).alias("max_k")
-    )
-
-
-def q_format_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X14 field:value formatting + broadcast dim join: every nation
-    formatted against its region (the engine's 'Field:\\tvalue'
-    contract, spatial_preprocessor.py:174)."""
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
-    return (
-        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .select(
-            F.col("n_nationkey").alias("nationkey"),
-            F.concat(F.col("n_name"), F.lit(":\t"), F.col("r_name")).alias("formatted"),
-        )
-    )
-
-
-def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style continuous aggregate: one pass produces hourly
-    and daily rollups via GROUPING SETS (Catalyst plans a single
-    shuffle with partial aggregation)."""
-    ev = (
-        _t(spark, sf_dir, "events")
-        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
-        .withColumn("hour", F.date_format("ts", "HH"))
-    )
-    return (
-        ev.groupingSets(
-            [[F.col("day"), F.col("hour")], [F.col("day")]],
-            F.col("day"),
-            F.col("hour"),
-        )
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
-        )
-    )
-
-
-def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval/range join (J3's word->column assignment, relationally):
-    events bucketed into value bands via a broadcast interval table."""
-    ev = _t(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
-        [("low", 0.0, 10.0), ("mid", 10.0, 50.0), ("high", 50.0, 1e9)],
-        "band string, lo double, hi double",
-    )
-    return (
-        ev.join(
-            F.broadcast(bands),
-            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
-        )
-        .groupBy("band")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-        )
-    )
-
-
-def q_asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (relational form of the reference's nearest-neighbor
-    pairing, J2/J3): each 'error' event matched to the latest same-user
-    'click' at or before it.
-
-    Uses the union+window formulation (one shuffle per input, no
-    per-key pair materialization) — the range-join form in the same
-    module is the small-N cross-check; on skewed keys it is per-key
-    quadratic (see SF_GROWTH skewed-asof row)."""
-    from pdfextraction_spark.operators.asof import asof_join_union_window
-
-    ev = _t(spark, sf_dir, "events")
-    errors = ev.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = ev.filter(F.col("event_type") == "click")
-    return asof_join_union_window(
-        errors, clicks, key="user_id", left_id="event_id"
-    )
-
-
-def q_trigram_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-trigram language-ID score per document."""
-    from pdfextraction_spark.functions.text import en_trigram_score
-
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.round(en_trigram_score(F.col("text")), 6).alias("en_score"),
-        (en_trigram_score(F.col("text")) >= 0.01).alias("looks_en"),
-    )
-
-
-def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (Schleimer et al. 2003 rolling-hash
-    selection) per document — the substring-match-guaranteeing
-    fingerprint family, alongside the whole-doc hash."""
-    from pdfextraction_spark.functions.text import winnowed
-
-    docs = _t(spark, sf_dir, "documents")
-    return winnowed(docs, k=8, window=4, out_col="_fps").select(
-        "doc_id",
-        F.array_join("_fps", ",").alias("fingerprints"),
-        F.size("_fps").cast("long").alias("n_fps"),
-    )
-
-
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup via hash-groupBy on normalized text."""
-    from pdfextraction_spark.functions.dedup import exact_dedup
-
-    return exact_dedup(_t(spark, sf_dir, "documents"))
-
-
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: md5 of whitespace-normalized text
-    (SQL-portable analogue of the xxhash64 shuffle fingerprint)."""
-    docs = _t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
-    return docs.select(
-        "doc_id", F.md5(F.encode(norm, "UTF-8")).alias("fingerprint")
-    )
-
-
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram Jaccard near-dup pairs (word 3-grams, >= 0.2)."""
-    from pdfextraction_spark.functions.dedup import ngram_jaccard_pairs
-
-    return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.2
-    )
-
-
-def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 for the first 5 query vectors."""
-    from pdfextraction_spark.functions.similarity import brute_force_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return brute_force_topk(emb, queries, k=10)
-
-
-def q_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, exact form (the verifier path;
-    the LSH-blocked scale path is recall-tested against this in
-    pytest)."""
-    from pdfextraction_spark.functions.similarity import cosine_near_pairs
-
-    return cosine_near_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, blocked=False
-    )
-
-
-def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6/A7-style summary rollup with a shuffle join: revenue per
-    nation-month (orders x customer, broadcast nation)."""
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
-        )
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# extraction queries over the synthesized transcripts fixture
-# (rows-only checks; golden equality is enforced by pytest)
-
-def q_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship extraction, driver-checkable: spans serialized to
-    'label:start:end|...' so text AND span offsets are value-hashed
-    against the loop-oracle golden parquet."""
-    from pdfextraction_spark.pipeline import extract_dataframe
-
-    ex = extract_dataframe(_fixture_turns(spark, sf_dir), num_partitions=8)
-    span_str = F.array_join(
-        F.transform(
-            "spans", lambda s: F.concat_ws(":", s["label"], s["start"], s["end"])
-        ),
-        "|",
-    )
-    return ex.withColumn("spans", span_str)
-
-
-def q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pdfextraction_spark.pipeline import extract_dataframe
-
-    ex = extract_dataframe(_fixture_turns(spark, sf_dir), num_partitions=8)
-    return ex.groupBy("payload_kind").agg(
-        F.count("*").alias("n_turns"),
-        F.sum("blocks_kept").alias("blocks_kept"),
-        F.sum("blocks_dropped").alias("blocks_dropped"),
-        F.sum(F.col("parse_failed").cast("long")).alias("parse_failures"),
-    )
-
-
-def q_merge_conv_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pdfextraction_spark.operators.merge import merge_conversation_fields
-    from pdfextraction_spark.pipeline import extract_dataframe
-
-    ex = extract_dataframe(_fixture_turns(spark, sf_dir), num_partitions=8)
-    return merge_conversation_fields(ex)
-
-
-def q_extract_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M3 coordinate table extraction (J3/J4/W3/A4/A5/F2-F4 families,
-    coordinate_table_extractor.py) over pdf_layout turns.
-
-    Array columns are serialized to scalar strings for the driver's
-    canonicalizer (US-delimited; NUL marks an empty cell) — the native
-    array API stays on the operator itself."""
-    from pdfextraction_spark.operators.tables import extract_tables
-
-    t = extract_tables(_fixture_turns(spark, sf_dir))
-    return t.select(
-        "conv_id",
-        "turn_idx",
-        "table_idx",
-        F.array_join("headers", "\x1f").alias("headers"),
-        F.array_join("columns", "\x1f").alias("columns"),
-        "row_idx",
-        F.array_join("cells", "\x1f", "\x00").alias("cells"),
-    )
-
-
-def q_spacing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 word-spacing statistics (spatial_preprocessor.py:422-463)
-    per pdf_layout turn."""
-    from pdfextraction_spark.operators.stats import spacing_stats_turns
-
-    st = spacing_stats_turns(_fixture_turns(spark, sf_dir))
-    # round: the vectorized kernel and the loop oracle sum in different
-    # orders, so raw doubles can differ in the last ulp
-    return st.select(
-        "conv_id",
-        "turn_idx",
-        F.round("avg_spacing", 4).alias("avg_spacing"),
-        F.round("median_spacing", 4).alias("median_spacing"),
-        F.round("spacing_std", 4).alias("spacing_std"),
-    )
-
-
-def q_table_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A11 row-structure anomaly check (result_merger.py:233-242):
-    tables whose rows carry differing non-null cell counts."""
-    from pdfextraction_spark.operators.tables import extract_tables
-
-    t = extract_tables(_fixture_turns(spark, sf_dir))
-    cells_filled = F.size(F.filter("cells", lambda c: c.isNotNull()))
-    return (
-        t.groupBy("conv_id", "turn_idx", "table_idx")
-        .agg(
-            F.count("*").alias("n_rows"),
-            (F.count_distinct(cells_filled) > 1).alias("anomaly"),
-        )
-    )
-
-
-def q_conv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F7 simplified schema view (openai_service.py:428-486): field
-    names only, per conversation."""
-    from pdfextraction_spark.operators.merge import merge_conversation_fields
-    from pdfextraction_spark.pipeline import extract_dataframe
-
-    ex = extract_dataframe(_fixture_turns(spark, sf_dir), num_partitions=8)
-    return merge_conversation_fields(ex).groupBy("conv_id").agg(
-        F.array_join(F.array_sort(F.collect_set("field")), ",").alias("form_fields"),
-        F.count("*").alias("n_fields"),
-    )
-
-
-def q_classify_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Step-1 structure classification (openai_service.py:256-283,
-    prompts.py:14-40) made deterministic: form/table/mixed per
-    decodable pdf_layout turn from field-line + table-region evidence.
-    Uses the fused single-pass form (one decode per envelope, no join);
-    pinned equal to the compositional classify_blocks in tests."""
-    from pdfextraction_spark.operators.classify import classify_turns
-
-    return classify_turns(_fixture_turns(spark, sf_dir))
-
-
-def q_final_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Final per-conversation JSON assembly
-    (result_merger.py:168-210 create_final_json_output): fields +
-    tables + processing summary, byte-reproducible serialization."""
-    from pdfextraction_spark.operators.assemble import (
-        assemble_conversation_json,
-    )
-    from pdfextraction_spark.operators.tables import extract_tables
-    from pdfextraction_spark.pipeline import extract_dataframe
-
-    turns = _fixture_turns(spark, sf_dir)
-    return assemble_conversation_json(
-        extract_dataframe(turns, num_partitions=8), extract_tables(turns)
-    )
-
-
-def q_merge_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 cross-turn table accumulation with source metadata
-    (result_merger.py:122-163)."""
-    from pdfextraction_spark.operators.merge import merge_conversation_tables
-    from pdfextraction_spark.operators.tables import extract_tables
-
-    return merge_conversation_tables(extract_tables(_fixture_turns(spark, sf_dir)))
-
-
-def q_extraction_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed anomaly records (result_merger.py:212-244
-    detect_conflicts_and_anomalies): field conflicts + multi-turn
-    row-structure inconsistencies as one routable record stream —
-    upgrades the r2 boolean flags to the reference's typed shape."""
-    from pdfextraction_spark.operators.anomalies import extraction_anomalies
-    from pdfextraction_spark.operators.tables import extract_tables
-    from pdfextraction_spark.pipeline import extract_dataframe
-
-    turns = _fixture_turns(spark, sf_dir)
-    return extraction_anomalies(
-        extract_dataframe(turns, num_partitions=8), extract_tables(turns)
-    )
-
-
-def q_apply_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corrections overlay (app.py:822 validated-JSON precedence):
-    deterministic human-override fixture applied over the merged
-    fields — override wins, machine value retained as provenance,
-    human-added fields appear with null machine provenance."""
-    from pdfextraction_spark.operators.corrections import (
-        apply_corrections,
-        fixture_corrections,
-    )
-    from pdfextraction_spark.operators.merge import merge_conversation_fields
-    from pdfextraction_spark.pipeline import extract_dataframe
-
-    turns = _fixture_turns(spark, sf_dir)
-    merged = merge_conversation_fields(extract_dataframe(turns, num_partitions=8))
-    return apply_corrections(merged, fixture_corrections(turns))
-
-
-def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal image path: real PNG decode -> pixel stats +
-    average-hash over the deterministic media fixture; golden computed
-    by decoding the same blobs without Spark."""
-    from pdfextraction_spark.functions.multimodal import (
-        gen_media_fixture,
-        image_features,
-    )
-
-    return image_features(gen_media_fixture(spark), num_partitions=8)
-
-
-def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal audio path: real PCM-WAV decode -> duration/RMS/ZCR/
-    peak over the deterministic media fixture."""
-    from pdfextraction_spark.functions.multimodal import (
-        audio_features,
-        gen_media_fixture,
-    )
-
-    return audio_features(gen_media_fixture(spark), num_partitions=8)
-
-
-def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal video path: REAL animated-GIF decode (pure LZW
-    codec, validated against Java ImageIO) -> per-sampled-frame pixel
-    stats + content digest; undecodable containers degrade to the
-    deterministic byte-digest fake (decoded=false)."""
-    from pdfextraction_spark.functions.multimodal import (
-        gen_media_fixture,
-        sample_frames,
-    )
-
-    return sample_frames(gen_media_fixture(spark), every_k=5,
-                         num_partitions=8)
-
-
-def q_schema_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Step-2 field-schema normalization (openai_service.py:688-718):
-    three historical payload shapes -> one canonical serialized
-    schema, via pure from_json shape probing."""
-    from fixtures.golden import SCHEMA_SAMPLES
-    from pdfextraction_spark.functions.schema_norm import normalized_schema_str
-
-    df = spark.createDataFrame(SCHEMA_SAMPLES, "sample_id int, payload string")
-    return df.select(
-        "sample_id", normalized_schema_str(F.col("payload")).alias("normalized")
-    )
-
-
-def q_fence_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X16/X17 markdown-fence JSON extraction + repair
-    (openai_service.py:115-220) over tool-output turns."""
-    from pdfextraction_spark.functions.text import fenced_json, repair_json
-
-    turns = _fixture_turns(spark, sf_dir)
-    fenced = fenced_json(F.col("text"))
-    parsed = F.from_json(
-        repair_json(fenced), "status string, items array<string>, count int"
-    )
-    return (
-        turns.filter(fenced != "")
-        .select(
-            "conv_id",
-            "turn_idx",
-            parsed["status"].alias("status"),
-            parsed["count"].alias("count"),
-            F.size(parsed["items"]).alias("n_items"),
-        )
-    )
-
-
-def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, portable hash family: the DuckDB
-    oracle re-derives signatures, band keys, candidates, and the exact
-    Jaccard verification from the raw documents table (was a rows-only
-    check in r2). Production runs portable=False (xxhash64 longs)."""
-    from pdfextraction_spark.functions.dedup import minhash_lsh_pairs
-
-    return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.2, portable=True
-    )
-
-
-def q_simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 60-bit portable SimHash sketch itself, hash-checked per doc
-    — pins the sketch computation independently of how many near-pairs
-    the corpus happens to contain."""
-    from pdfextraction_spark.functions.dedup import simhash_portable60
-
-    return simhash_portable60(_t(spark, sf_dir, "documents"))
-
-
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at the scale-safe standard config
-    (d=3, 4 wide bands — Manku WWW'07); d=12 remains an explicit
-    opt-in cost dial on the function. Portable sketch -> full DuckDB
-    oracle (banding + exact Hamming verify)."""
-    from pdfextraction_spark.functions.dedup import simhash_near_pairs
-
-    return simhash_near_pairs(
-        _t(spark, sf_dir, "documents"), max_hamming=3, portable=True
-    )
-
-
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN with Hamming-1 multiprobe, portable
-    planes: deterministic md5-derived integer hyperplanes + quantized
-    projections make the bucket ids engine-exact, so the DuckDB oracle
-    rebuilds the identical candidate sets and ranking."""
-    from pdfextraction_spark.functions.similarity import lsh_bucket_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return lsh_bucket_topk(emb, queries, k=10, bits=4, portable=True)
-
-
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with deterministic strided seed centroids and 0 Lloyd
-    iterations — the oracle-exact configuration (assignment = argmax
-    of round(cosine, 6), reproducible in SQL). Lloyd refinement stays
-    available (lloyd_iters>0) and is recall-pinned in pytest."""
-    from pdfextraction_spark.functions.similarity import ivf_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4,
-                    lloyd_iters=0)
-
-
-def q_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs on the SCALE path (LSH-blocked +
-    multiprobe — the plan you'd run at corpus size, VERDICT r2 item 2),
-    with portable planes so the blocked candidate set is oracle-exact.
-    The exact O(n^2) form stays as the small-N verifier query."""
-    from pdfextraction_spark.functions.similarity import cosine_near_pairs
-
-    return cosine_near_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, blocked=True,
-        bits=4, portable=True,
-    )
-
-
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERING: connected components (distributed
-    min-label propagation) over the exact n-gram Jaccard pair graph —
-    cluster id, size, and the canonical keep-one doc per group. The
-    DuckDB oracle recomputes the components exactly via WITH RECURSIVE
-    transitive closure."""
-    from pdfextraction_spark.functions.dedup import ngram_jaccard_pairs
-    from pdfextraction_spark.operators.graph import dedup_clusters
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
-    return dedup_clusters(docs, pairs)
-
-
-def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sampling: content-hash uniform keeps
-    the same rows regardless of partitioning/engine (md5-32 family),
-    with per-stratum fractions riding a literal CASE — no shuffle,
-    pushdown-friendly."""
-    from pdfextraction_spark.functions.sampling import hash_sample
-
-    docs = _t(spark, sf_dir, "documents")
-    return hash_sample(
-        docs, fraction=0.3, key_col="doc_id", stratum_col="source",
-        fractions={"src0": 1.0, "src1": 0.05},
-    ).select("doc_id", F.col("source").alias("stratum"))
-
-
-def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction: the reference's X9-X11 value patterns
-    (spatial_preprocessor.py:374-384) plus email, extended from
-    match-testing to corpus redaction with per-kind counts — chained
-    regexp_replace, pure codegen."""
-    from pdfextraction_spark.functions.text import pii_counts, redact_pii
-
-    docs = _t(spark, sf_dir, "documents")
-    counts = pii_counts(F.col("text"))
-    return docs.select(
-        "doc_id",
-        *[counts[k].alias(f"n_{k}") for k in ("email", "ssn", "phone", "date")],
-        redact_pii(F.col("text")).alias("redacted"),
-    )
-
-
-def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality stats (Rae et al. 2021 A1.1):
-    char share of the top word 2-/3-gram + duplicated-2-gram share.
-    Fixture-scale ns; production uses dup-gram n of 5..10 (the n=5
-    path is pinned in pytest on crafted repetitive docs)."""
-    from pdfextraction_spark.functions.repetition import (
-        ngram_repetition_stats,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    return ngram_repetition_stats(docs, top_ns=(2, 3), dup_ns=(2,))
-
-
-def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination by exact n-gram collision (GPT-3
-    App. C style): eval set = doc_id % 41 == 0, corpus = the rest;
-    a corpus doc is contaminated when it shares any word 3-gram with
-    the eval set (3 at fixture scale; 8..13-gram is the published
-    production window). Eval side broadcast."""
-    from pdfextraction_spark.functions.repetition import contamination_hits
-
-    docs = _t(spark, sf_dir, "documents")
-    ev = docs.filter(F.col("doc_id") % 41 == 0)
-    corpus = docs.filter(F.col("doc_id") % 41 != 0)
-    return contamination_hits(corpus, ev, n=3)
-
-
-def q_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-calibrated lexical quality: per-doc type-token ratio +
-    rare-token share against a corpus document-frequency model (two
-    aggregations + a token-keyed equi-join; the DF model is never
-    broadcast — at corpus scale the rare tail IS the vocabulary).
-    rare_df_max=385 (the fixture's median token df) because the
-    synthetic vocabulary is ~31 types with df 25..402 — the dial is
-    corpus-calibrated and a web corpus uses single digits; 385 makes
-    roughly half the vocabulary 'rare' so the per-doc ratios carry
-    signal for the oracle."""
-    from pdfextraction_spark.functions.repetition import corpus_token_stats
-
-    docs = _t(spark, sf_dir, "documents")
-    return corpus_token_stats(docs, rare_df_max=385)
-
-
-def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quota (balanced) sampling: exactly min(k, |stratum|) docs per
-    language, ranked by the content-deterministic md5-32 uniform —
-    the language-balanced training-mix selector."""
-    from pdfextraction_spark.functions.sampling import quota_sample
-
-    docs = _t(spark, sf_dir, "documents")
-    return quota_sample(docs, k=5, stratum_col="lang").select(
-        "doc_id", "lang", F.col("sample_rank").cast("long").alias(
-            "sample_rank")
-    )
-
-
-def q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-aware cluster canonicalization: one representative per
-    near-dup cluster, chosen as the LONGEST copy (n_chars; longest =
-    least truncated — the common keep-best heuristic; any score column
-    works, e.g. quality_score) with ties to the smallest id."""
-    from pdfextraction_spark.functions.dedup import ngram_jaccard_pairs
-    from pdfextraction_spark.operators.graph import (
-        cluster_representatives,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.2).select(
-        "id_a", "id_b")
-    return cluster_representatives(docs, pairs, score_col="n_chars")
-
-
-def q_ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup: near-dup join of a 'new batch' (doc_id % 7
-    == 0) against the 'existing corpus' (the rest) — cross-side pairs
-    only, neither side self-joined. The everyday production shape:
-    each crawl increment dedups against the accumulated corpus."""
-    from pdfextraction_spark.functions.dedup import ngram_jaccard_join
-
-    docs = _t(spark, sf_dir, "documents")
-    new_batch = docs.filter(F.col("doc_id") % 7 == 0)
-    corpus = docs.filter(F.col("doc_id") % 7 != 0)
-    return ngram_jaccard_join(new_batch, corpus, threshold=0.2)
-
-
-def q_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup SCALE path: same new-batch-vs-corpus split as
-    ngram_jaccard_join but candidates come from cross-side minhash
-    band collisions (portable md5 family) — both sides can be
-    arbitrarily large; exact Jaccard verifies before emit."""
-    from pdfextraction_spark.functions.dedup import minhash_lsh_join
-
-    docs = _t(spark, sf_dir, "documents")
-    new_batch = docs.filter(F.col("doc_id") % 7 == 0)
-    corpus = docs.filter(F.col("doc_id") % 7 != 0)
-    return minhash_lsh_join(new_batch, corpus, threshold=0.2,
-                            portable=True)
-
-
-def q_cosine_near_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental embedding dedup: LSH-blocked asymmetric near-dup
-    join of a 'new batch' of vectors (vec_id % 7 == 0) against the
-    corpus — the new-batch side multiprobes, exact cosine verifies.
-    bits=4 for fixture-scale recall (same dial note as the symmetric
-    blocked query)."""
-    from pdfextraction_spark.functions.similarity import cosine_near_join
-
-    emb = _t(spark, sf_dir, "embeddings")
-    new_batch = emb.filter(F.col("vec_id") % 7 == 0)
-    corpus = emb.filter(F.col("vec_id") % 7 != 0)
-    return cosine_near_join(new_batch, corpus, threshold=0.4, bits=4,
-                            portable=True)
-
-
-def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization encoding (Jegou et al. 2011): each dim-64
-    vector becomes 8 sub-space codes against deterministic seed
-    codebooks — the compression half of IVF-PQ, a 32x storage
-    reduction at billion-vector scale. Codes exported comma-joined
-    (driver canonicalization needs scalar columns)."""
-    from pdfextraction_spark.functions.similarity import (
-        pq_encode,
-        pq_train_codebooks,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    books = pq_train_codebooks(emb, m=8, k=16, dim=64)
-    return pq_encode(emb, books).select(
-        "vec_id",
-        F.array_join(
-            F.transform(F.col("codes"), lambda c: c.cast("string")), ","
-        ).alias("codes"),
-    )
-
-
-def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ search: asymmetric distance over CODES ONLY — per query an
-    exact 8x16 sub-distance table, candidate distance = 8 table
-    lookups (independent of dim). The IVF-PQ search half; recall vs
-    brute force pinned in pytest."""
-    from pdfextraction_spark.functions.similarity import (
-        pq_adc_topk,
-        pq_train_codebooks,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    books = pq_train_codebooks(emb, m=8, k=16, dim=64)
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return pq_adc_topk(emb, queries, books, k=10)
-
-
-def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ composition — the search stack a 10^9-vector corpus
-    actually runs: IVF probing restricts candidates to n_probe
-    inverted lists, ADC over PQ codes ranks them in O(m) integer
-    lookups per candidate. Oracle config: lloyd_iters=0 seeds for
-    both quantizers (n_centroids == k so coarse centroids and the
-    codebook seed sample coincide — mirrored by the shared `seed`
-    CTE in the SQL); production runs trained codebooks + the
-    vectorized paths (recall pinned in pytest)."""
-    from pdfextraction_spark.functions.similarity import (
-        ivfpq_topk,
-        pq_train_codebooks,
-        train_ivf_centroids,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    books = pq_train_codebooks(emb, m=8, k=16, dim=64)
-    cents = train_ivf_centroids(emb, n_centroids=16, lloyd_iters=0)
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return ivfpq_topk(emb, queries, books, centroids=cents, k=10,
-                      n_probe=4, vectorized=False)
-
-
-def q_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ search over the PERSISTED index (sources/ann_index.py):
-    build writes the coded corpus partitioned by list_id (the
-    inverted-list file layout — probes become PartitionFilters on the
-    scan), search restores the quantizers and probes only the matched
-    directories. Same oracle config as ann_ivfpq_topk (lloyd_iters=0
-    seeds, n_centroids == k), so the DuckDB chain re-derives the
-    identical results from the raw embeddings table — the persistence
-    round-trip is what this row certifies."""
-    import hashlib
-    import os
-
-    from pdfextraction_spark.sources.ann_index import (
-        build_ann_index,
-        ivfpq_topk_indexed,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        ".ann_index_cache", tag,
-    )
-    idx = build_ann_index(
-        emb, path, n_centroids=16, m=8, k=16, dim=64,
-        lloyd_iters=0, pq_lloyd_iters=0, vectorized=False,
-    )
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return ivfpq_topk_indexed(idx, queries, k=10, n_probe=4,
-                              vectorized=False)
-
-
-def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-sequence chunking: 32-token windows, stride 24 (sized
-    to the fixture's ~54-token docs so multi-chunk docs are common;
-    production uses context-length windows). Pure narrow transform —
-    no shuffle."""
-    from pdfextraction_spark.functions.chunking import chunk_documents
-
-    docs = _t(spark, sf_dir, "documents")
-    return chunk_documents(docs, chunk_tokens=32, stride=24)
-
-
-def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concatenation packing of the chunked corpus into capacity-128
-    bins across 8 content-deterministic shards — the training-example
-    layout step after chunking (production: capacity = model context,
-    n_shards ~ cluster width)."""
-    from pdfextraction_spark.functions.chunking import (
-        chunk_documents,
-        pack_chunks,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    chunks = chunk_documents(docs, chunk_tokens=32, stride=24)
-    return pack_chunks(chunks, capacity=128, n_shards=8)
-
-
-def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation funnel — the composite a training-data
-    pipeline actually runs, proving the gates COMPOSE: (1) quality +
-    language gate, (2) exact-dedup canonicalization (md5 fingerprint
-    group, min id wins — portable analogue of the xxhash64 production
-    key), (3) repetition gate on the top-2-gram char share, (4)
-    language-balanced quota sample of the survivors. Output is the
-    selected training subset with its per-language rank.
-
-    Implementation shared with `cli curate`
-    (functions/curation.curation_funnel — single home for the oracle
-    contract). 0.12 = fixture q90 of the survivor top2 distribution
-    (the gate must actually remove docs to be oracle-exercised);
-    Gopher's published top-2-gram threshold is 0.20 on web text."""
-    from pdfextraction_spark.functions.curation import curation_funnel
-
-    docs = _t(spark, sf_dir, "documents")
-    return curation_funnel(
-        docs, min_quality=0.5, max_top2_frac=0.12, per_lang=10
-    ).select(
-        "doc_id", "lang",
-        F.col("sample_rank").cast("long").alias("sample_rank"),
-    )
-
-
-def q_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The funnel with the NEAR-dup canonicalization stage real
-    pipelines run between exact dedup and the repetition gate:
-    minhash-LSH pairs over the survivors (portable md5 family — the
-    exact chain the green minhash_lsh_pairs row checks), connected
-    components, keep the highest-quality copy per cluster (ties ->
-    smallest id). The oracle re-derives the whole chain including a
-    WITH RECURSIVE transitive closure; the fixture's planted near-dup
-    documents are demonstrably removed (pinned in pytest)."""
-    from pdfextraction_spark.functions.curation import curation_funnel
-
-    docs = _t(spark, sf_dir, "documents")
-    return curation_funnel(
-        docs, min_quality=0.5, max_top2_frac=0.12, per_lang=10,
-        near_dup=True, nd_threshold=0.2,
-    ).select(
-        "doc_id", "lang",
-        F.col("sample_rank").cast("long").alias("sample_rank"),
-    )
-
-
-def q_hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The stoplist made visible: shingles whose document frequency
-    exceeds the dial — the boilerplate a skewed corpus would
-    otherwise let explode the blocking self-join. max_df=4 exercises
-    the threshold on the sf fixture (its df distribution tops out at
-    7); production uses ~1000 on web corpora."""
-    from pdfextraction_spark.functions.dedup import hot_shingles
-
-    return hot_shingles(_t(spark, sf_dir, "documents"), max_df=4)
-
-
-def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source duplication monitoring — the feed-health chart of a
-    crawl pipeline. The sf fixture has no exact dups, so the query
-    unions in whitespace-mangled copies of every 10th doc (offset
-    ids) to exercise the rate; the oracle mirrors the construction."""
-    from pdfextraction_spark.functions.dedup import dup_rate_by_source
-
-    docs = _t(spark, sf_dir, "documents")
-    mangled = (
-        docs.filter(F.col("doc_id") % 10 == 0)
-        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
-        .withColumn("text",
-                    F.concat(F.lit("  "), F.upper(F.col("text")),
-                             F.lit("   ")))
-    )
-    return dup_rate_by_source(docs.unionByName(mangled))
-
-
-def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot diff between two corpus versions — which docs were
-    added / removed / changed between crawl snapshots, the question
-    an incremental pipeline asks before re-running anything. The two
-    snapshots are derived deterministically from the one sf table
-    (mod-splits + a ' v2' amendment); one full outer join on the id,
-    fingerprints via the shared normalized-md5 key."""
-    from pdfextraction_spark.functions.dedup import corpus_diff
-
-    docs = _t(spark, sf_dir, "documents")
-    old = docs.filter(F.col("doc_id") % 11 != 5)
-    new = docs.filter(F.col("doc_id") % 7 != 3).withColumn(
-        "text",
-        F.when(F.col("doc_id") % 5 == 0,
-               F.concat(F.col("text"), F.lit(" v2")))
-        .otherwise(F.col("text")),
-    )
-    return corpus_diff(old, new)
-
-
-def q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric containment pairs over winnowing fingerprints —
-    the quote/boilerplate-subset detector symmetric Jaccard dedup
-    misses (a short doc quoted inside a long one has a tiny union
-    ratio but containment ~1). Portable md5 family; the oracle
-    re-derives the whole chain from the shared winnow fragment."""
-    from pdfextraction_spark.functions.dedup import (
-        winnow_containment_pairs,
-    )
-
-    return winnow_containment_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.3
-    )
-
-
-def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document top-5 TF-IDF keywords (smooth log idf) — the
-    keyword-extraction primitive of corpus analytics. TF and DF are
-    two hash aggregations; the TF x DF join shuffles on term (a web
-    vocabulary is too large to broadcast — corpus_token_stats
-    stance); top-k is one doc-keyed window."""
-    from pdfextraction_spark.functions.repetition import tfidf_topk
-
-    return tfidf_topk(_t(spark, sf_dir, "documents"), k=5)
-
-
-def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic content-stable train/val/test assignment
-    (md5-32 uniform on doc_id): a doc keeps its split across reruns,
-    partitionings, and corpus growth — the anti-contamination
-    property a random split lacks. Zero shuffle."""
-    from pdfextraction_spark.functions.sampling import dataset_split
-
-    return dataset_split(
-        _t(spark, sf_dir, "documents"), train=0.8, val=0.1
-    ).select("doc_id", "lang", "split")
-
-
-def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language exact R-7 length quantiles (chars + whitespace
-    tokens) — the distribution summary that chooses chunking/packing
-    dials; percentile_approx (t-digest) is the documented swap for
-    billion-row strata."""
-    from pdfextraction_spark.functions.repetition import (
-        corpus_length_quantiles,
-    )
-
-    return corpus_length_quantiles(_t(spark, sf_dir, "documents"))
-
-
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup (Abbas et al. 2023): coarse
-    16-cluster assignment (lloyd_iters=0 strided seeds — the oracle
-    config), then within-cluster epsilon-ball pruning at cosine 0.3 —
-    a vector survives iff no smaller-id member of its own cluster is
-    that close. The embedding-space counterpart of the text near-dup
-    family; production refines centroids with Lloyd and dials
-    n_centroids ~ sqrt(n) so the within-cluster quadratic stays
-    bounded."""
-    from pdfextraction_spark.functions.similarity import semantic_dedup
-
-    return semantic_dedup(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_centroids=16,
-        lloyd_iters=0,
-    )
-
-
-def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conversation-level exact dedup over the transcripts fixture —
-    the transcript-native dedup unit (a re-ingested conversation is
-    ONE duplicate sample, not N duplicate turns). The fixture has no
-    duplicate conversations, so the query unions in whitespace/case-
-    mangled copies of every conv whose id ends in '0' (~copy ids);
-    the normalized turn-sequence fingerprint collapses them onto the
-    originals. Oracle re-derives the md5-over-ordered-turns chain."""
-    from pdfextraction_spark.functions.dedup import conversation_dedup
-
-    t = _fixture_turns(spark, sf_dir).select(
-        "conv_id", "turn_idx", "text")
-    copies = t.filter(F.col("conv_id").endswith("0")).select(
-        F.concat(F.col("conv_id"), F.lit("~copy")).alias("conv_id"),
-        "turn_idx",
-        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit(" "))
-        .alias("text"),
-    )
-    return conversation_dedup(t.unionByName(copies))
-
-
-def q_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The crawl-increment composite end to end: snapshot diff (same
-    derived old/new split as corpus_diff) -> only the added/changed
-    docs near-dup join (portable minhash-LSH, verify-before-emit)
-    against the retained corpus -> per-incoming-doc verdict
-    (dup_of best match / unique). The composition the incremental
-    operators exist for, oracle-checked as one chain."""
-    from pdfextraction_spark.functions.dedup import incremental_update
-
-    docs = _t(spark, sf_dir, "documents")
-    old = docs.filter(F.col("doc_id") % 11 != 5)
-    new = docs.filter(F.col("doc_id") % 7 != 3).withColumn(
-        "text",
-        F.when(F.col("doc_id") % 5 == 0,
-               F.concat(F.col("text"), F.lit(" v2")))
-        .otherwise(F.col("text")),
-    )
-    return incremental_update(old, new, threshold=0.2, portable=True)
-
-
-def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Source-mixture planning at a 30k-token budget with the default
-    uniform target mix — each source's budget slice vs its available
-    tokens yields epochs (oversample) or a clamped sample_rate
-    (subsample). 30k sits near the sf corpus total, so both regimes
-    appear; the rates feed hash_sample(fractions=...) for
-    content-deterministic execution."""
-    from pdfextraction_spark.functions.sampling import mixture_weights
-
-    return mixture_weights(
-        _t(spark, sf_dir, "documents"), budget_tokens=30000
-    )
-
-
-def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chat-training context assembly: every EXTRACTED turn becomes a
-    training target whose context is the maximal run of preceding
-    turns fitting a 100-token budget — the conversation-threaded
-    counterpart of chunk_documents (each doc-chunk is standalone; a
-    chat sample carries its history). Budget 100 sits at the
-    fixture's q99 turn length, so both multi-turn contexts and the
-    single-turn truncation clamp are exercised. Composes the
-    extraction pipeline with the window op, so the oracle (golden
-    turns parquet + window SQL) checks both."""
-    from pdfextraction_spark.functions.chunking import context_windows
-    from pdfextraction_spark.pipeline import extract_dataframe
-
-    ex = extract_dataframe(_fixture_turns(spark, sf_dir), num_partitions=8)
-    return context_windows(ex, budget=100, text_col="extracted_text")
-
-
-def q_sft_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SFT sample assembly — the capstone composition: extraction ->
-    per-turn context windows (100-token budget over EXTRACTED text)
-    -> keep assistant turns with a clean parse and a non-trivial
-    (>= 2-turn) context. Each output row is one training sample: the
-    target turn plus the window of history the model would see.
-    Windows are computed over ALL turns first (context includes user/
-    tool turns) and the role gate applies only to the TARGET — the
-    ordering that makes the samples faithful to serving."""
-    from pdfextraction_spark.functions.chunking import context_windows
-    from pdfextraction_spark.pipeline import extract_dataframe
-
-    # one extraction pass: the two consumers below (window build and
-    # the role/parse gate) would otherwise each re-derive the full
-    # extract lineage — materialize the slim projection once
-    ex = extract_dataframe(
-        _fixture_turns(spark, sf_dir), num_partitions=8
-    ).select("conv_id", "turn_idx", "role", "parse_failed",
-             "extracted_text").localCheckpoint()
-    cw = context_windows(ex, budget=100, text_col="extracted_text")
-    meta = ex.select("conv_id", "turn_idx", "role", "parse_failed")
-    return (
-        cw.join(meta, ["conv_id", "turn_idx"])
-        .filter(
-            (F.col("role") == "assistant")
-            & ~F.col("parse_failed")
-            & (F.col("ctx_n_turns") >= 2)
-        )
-        .select("conv_id", "turn_idx", "n_tokens", "ctx_start_idx",
-                "ctx_n_turns", "ctx_tokens")
-    )
-
-
-def q_sft_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SFT PACKING capstone — sft_samples composed with pack_chunks:
-    each (context + target) training sample, sized by its ctx_tokens
-    window total, is laid out into capacity-512 training bins across
-    8 content-deterministic shards (conv_id md5 bucket, within-shard
-    running sum over (conv_id, turn_idx)) — the final
-    training-example layout step. No global sort: every shard packs
-    independently, so the plan is one window over the shard
-    partitioning (the pack_chunks scale contract)."""
-    from pdfextraction_spark.functions.chunking import pack_chunks
-
-    samples = q_sft_samples(spark, sf_dir)
-    return pack_chunks(
-        samples, capacity=512, n_shards=8,
-        id_col="conv_id", idx_col="turn_idx", len_col="ctx_tokens",
-    )
-
-
-def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-data gate: extraction -> language-ID +
-    quality scoring on the EXTRACTED text -> filtered corpus rows."""
-    from pdfextraction_spark.functions import text as X
-    from pdfextraction_spark.pipeline import extract_dataframe
-
-    ex = extract_dataframe(_fixture_turns(spark, sf_dir), num_partitions=8)
-    t = F.col("extracted_text")
-    return (
-        ex.filter(~F.col("parse_failed"))
-        .select(
-            "conv_id",
-            "turn_idx",
-            "payload_kind",
-            F.round(X.quality_score(t), 4).alias("quality"),
-            X.is_english(t).alias("is_en"),
-            F.length(t).cast("long").alias("n_chars"),
-        )
-        .filter((F.col("quality") >= 0.3) & (F.col("n_chars") >= 20))
-    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1304,6 +152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 additions ---
         "ann_ivfpq_indexed": q_ann_ivfpq_indexed,
         "sft_packed": q_sft_packed,
+        "text_guards": q_text_guards,
+        "usage_costs": q_usage_costs,
+        "render_pages": q_render_pages,
         # --- long-stamped core surface (green since r1-r3) ---
         "sessionize_events": q_sessionize,
         "longest_wins_merge": q_longest_wins,
@@ -1359,691 +210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from pdfextraction_spark.oracle import portable_sql as P
-
-    return {
-        "sessionize_events": f"""
-            WITH g AS (
-              SELECT user_id, ts, event_id,
-                CASE WHEN lag(ts) OVER w IS NULL
-                          OR date_diff('second', lag(ts) OVER w, ts) > 1800
-                     THEN 1 ELSE 0 END AS brk
-              FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-            ), s AS (
-              SELECT user_id, ts,
-                CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-              FROM g
-            )
-            SELECT user_id, session_id, COUNT(*) AS n_events,
-                   date_diff('second', MIN(ts), MAX(ts)) AS dur_sec
-            FROM s GROUP BY user_id, session_id
-        """,
-        "longest_wins_merge": """
-            WITH ranked AS (
-              SELECT source, doc_id, text,
-                row_number() OVER (PARTITION BY source
-                                   ORDER BY length(text) DESC, doc_id ASC) AS rn
-              FROM documents
-            )
-            SELECT r.source,
-                   MAX(CASE WHEN rn = 1 THEN doc_id END) AS best_doc_id,
-                   MAX(length(text)) AS best_len,
-                   COUNT(*) AS n_docs,
-                   COUNT(DISTINCT text) > 1 AS conflict_detected
-            FROM ranked r GROUP BY r.source
-        """,
-        "topk_recent": """
-            SELECT event_id, ts, event_type FROM events
-            ORDER BY ts DESC, event_id ASC LIMIT 10
-        """,
-        "windowed_sums": """
-            SELECT event_type, COUNT(*) AS n,
-                   round(SUM(value), 4) AS total_value
-            FROM events
-            WHERE ts >= TIMESTAMP '2024-01-02'
-              AND ts < TIMESTAMP '2024-01-05'
-            GROUP BY event_type
-        """,
-        "group_stats": """
-            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-                   round(SUM(l_quantity), 2) AS sum_qty,
-                   round(AVG(l_quantity), 4) AS avg_qty,
-                   MIN(l_quantity) AS min_qty,
-                   MAX(l_quantity) AS max_qty,
-                   round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
-            FROM lineitem GROUP BY l_returnflag, l_linestatus
-        """,
-        "ordered_accumulate": """
-            SELECT l_orderkey, COUNT(*) AS n_lines,
-                   string_agg(l_linenumber || ':' || CAST(l_quantity AS INTEGER),
-                              ',' ORDER BY l_linenumber,
-                                           CAST(l_quantity AS INTEGER)) AS acc,
-                   COUNT(DISTINCT CAST(l_quantity AS INTEGER)) > 1 AS mixed_rows
-            FROM lineitem GROUP BY l_orderkey
-        """,
-        "token_stats": f"""
-            WITH base AS (
-              SELECT doc_id, text,
-                CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws,
-                len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe,
-                length(text) AS n_chars,
-                length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
-                CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                                          x -> x IN {_STOPWORDS_SQL})) END AS n_stop,
-                length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS n_ascii
-              FROM documents
-            )
-            SELECT doc_id,
-                   n_ws AS n_ws_tokens,
-                   n_bpe AS n_bpe_tokens,
-                   round(CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct * 1.0 / n_chars END, 4) AS punct_ratio,
-                   round(CASE WHEN n_ws = 0 THEN 0.0 ELSE n_stop * 1.0 / n_ws END, 4) AS stopword_ratio,
-                   round((least(n_chars / 500.0, 1.0)
-                          + (1.0 - least((CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct * 1.0 / n_chars END) * 4.0, 1.0))
-                          + least((CASE WHEN n_ws = 0 THEN 0.0 ELSE n_stop * 1.0 / n_ws END) * 5.0, 1.0)) / 3.0, 4) AS quality,
-                   (CASE WHEN n_ws = 0 THEN 0.0 ELSE n_stop * 1.0 / n_ws END) >= 0.05
-                     AND n_ascii * 1.0 / greatest(n_chars, 1) >= 0.9 AS is_en,
-                   n_ws >= 3 AS table_hint
-            FROM base
-        """,
-        "json_extract": """
-            SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
-                   COUNT(*) AS n,
-                   MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
-            FROM events GROUP BY 1
-        """,
-        "format_pairs": """
-            SELECT n_nationkey AS nationkey,
-                   n_name || ':' || chr(9) || r_name AS formatted
-            FROM nation JOIN region ON n_regionkey = r_regionkey
-        """,
-        "hypertable_rollup": """
-            SELECT strftime(ts, '%Y-%m-%d') AS day,
-                   strftime(ts, '%H') AS hour,
-                   COUNT(*) AS n, round(SUM(value), 4) AS total_value
-            FROM events
-            GROUP BY GROUPING SETS ((day, hour), (day))
-        """,
-        "range_band_join": """
-            WITH bands(band, lo, hi) AS (
-              VALUES ('low', 0.0, 10.0), ('mid', 10.0, 50.0),
-                     ('high', 50.0, 1e9)
-            )
-            SELECT band, COUNT(*) AS n, round(AVG(value), 4) AS avg_value
-            FROM events JOIN bands ON value >= lo AND value < hi
-            GROUP BY band
-        """,
-        "asof_latest_click": """
-            SELECT e.event_id, e.user_id, e.ts, c.ts AS asof_ts
-            FROM (SELECT event_id, user_id, ts FROM events
-                  WHERE event_type = 'error') e
-            ASOF JOIN (SELECT user_id, ts FROM events
-                       WHERE event_type = 'click') c
-              ON e.user_id = c.user_id AND e.ts >= c.ts
-        """,
-        "trigram_lang": """
-            WITH scored AS (
-              SELECT doc_id,
-                ((length(lower(text)) - length(replace(lower(text), 'the', ''))) / 3
-               + (length(lower(text)) - length(replace(lower(text), 'and', ''))) / 3
-               + (length(lower(text)) - length(replace(lower(text), 'ing', ''))) / 3
-               + (length(lower(text)) - length(replace(lower(text), 'ion', ''))) / 3
-               + (length(lower(text)) - length(replace(lower(text), 'ent', ''))) / 3
-               + (length(lower(text)) - length(replace(lower(text), 'her', ''))) / 3
-               + (length(lower(text)) - length(replace(lower(text), 'for', ''))) / 3
-               + (length(lower(text)) - length(replace(lower(text), 'tha', ''))) / 3
-               + (length(lower(text)) - length(replace(lower(text), 'ter', ''))) / 3
-               + (length(lower(text)) - length(replace(lower(text), 'est', ''))) / 3
-               + (length(lower(text)) - length(replace(lower(text), 'ers', ''))) / 3
-               + (length(lower(text)) - length(replace(lower(text), 'ati', ''))) / 3
-                ) * 1.0 / greatest(length(text) - 2, 1) AS raw
-              FROM documents
-            )
-            SELECT doc_id, round(raw, 6) AS en_score,
-                   raw >= 0.01 AS looks_en
-            FROM scored
-        """,
-        "dedup_exact": """
-            SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
-            FROM (SELECT doc_id,
-                         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm_text
-                  FROM documents)
-            GROUP BY norm_text
-        """,
-        "doc_fingerprint": """
-            SELECT doc_id,
-                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
-            FROM documents
-        """,
-        "winnow_fingerprints": P.winnow_fingerprints_sql(),
-        "ngram_jaccard": """
-            WITH toks AS (
-              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-              FROM documents
-            ), sh AS (
-              SELECT DISTINCT doc_id,
-                CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
-                     ELSE array_to_string(t[i:i+2], ' ') END AS s
-              FROM toks,
-                LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i)
-            ), sizes AS (
-              SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
-            ), inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            )
-            SELECT id_a, id_b,
-                   round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
-        """,
-        "ann_cosine_topk": """
-            WITH scored AS (
-              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                            CAST(e.embedding AS DOUBLE[])) AS raw
-              FROM embeddings q, embeddings e
-              WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
-            ), ranked AS (
-              SELECT query_id, vec_id, round(raw, 6) AS sim,
-                     CAST(row_number() OVER (PARTITION BY query_id
-                                             ORDER BY raw DESC, vec_id ASC)
-                          AS INTEGER) AS rank
-              FROM scored
-            )
-            SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
-        """,
-        "cosine_near_pairs": """
-            WITH e AS (
-              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-              FROM embeddings
-            )
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
-        """,
-        "monthly_rollup": """
-            SELECT n_name AS nation, strftime(o_orderdate, '%Y-%m') AS month,
-                   COUNT(*) AS n_orders, round(SUM(o_totalprice), 2) AS revenue
-            FROM orders
-            JOIN customer ON o_custkey = c_custkey
-            JOIN nation ON c_nationkey = n_nationkey
-            GROUP BY 1, 2
-        """,
-        **_portable_oracle_sql(),
-        **_golden_oracle_sql(),
-    }
-
-
-def _portable_oracle_sql() -> dict[str, str]:
-    """Full-pipeline DuckDB oracles for the approximate dedup/ANN
-    queries (portable md5 hash family — closes VERDICT r2 item 1; see
-    pdfextraction_spark/oracle/portable_sql.py for the cross-engine
-    equalities these rely on). Parameters here MUST match the
-    corresponding q_* query calls."""
-    from pdfextraction_spark.oracle import portable_sql as P
-
-    return {
-        "minhash_lsh_pairs": P.minhash_lsh_pairs_sql(threshold=0.2),
-        "simhash_sketch": P.simhash_sketch_sql(),
-        "simhash_pairs": P.simhash_pairs_sql(max_hamming=3),
-        "ann_lsh_topk": P.ann_lsh_topk_sql(bits=4, k=10, n_queries=5),
-        "ann_ivf_topk": P.ann_ivf_topk_sql(n_centroids=16, n_probe=4,
-                                           k=10, n_queries=5),
-        # bits=4 at this fixture scale: the threshold (0.4) is far
-        # below the near-dup regime LSH is built for, so wider buckets
-        # buy recall (35/59 of the exact pairs vs 9/59 at bits=8);
-        # bits is the occupancy dial you raise with corpus size
-        "cosine_near_pairs_blocked": P.cosine_near_pairs_blocked_sql(
-            threshold=0.4, bits=4
-        ),
-        "dedup_clusters": P.dedup_clusters_sql(threshold=0.2),
-        "hash_sample": P.hash_sample_sql(
-            fraction=0.3, fractions={"src0": 1.0, "src1": 0.05}
-        ),
-        "redact_pii": P.redact_pii_sql(),
-        "repetition_stats": P.ngram_repetition_stats_sql(
-            top_ns=(2, 3), dup_ns=(2,)
-        ),
-        "contamination_hits": P.contamination_hits_sql(n=3, eval_mod=41),
-        "corpus_token_stats": P.corpus_token_stats_sql(rare_df_max=385),
-        "quota_sample": P.quota_sample_sql(k=5, stratum_col="lang"),
-        "cluster_representatives": P.cluster_representatives_sql(
-            threshold=0.2, score_col="n_chars"),
-        "ngram_jaccard_join": P.ngram_jaccard_join_sql(left_mod=7,
-                                                       threshold=0.2),
-        "minhash_lsh_join": P.minhash_lsh_join_sql(left_mod=7,
-                                                   threshold=0.2),
-        "cosine_near_join": P.cosine_near_join_sql(left_mod=7,
-                                                   threshold=0.4,
-                                                   bits=4),
-        "pq_encode": P.pq_encode_sql(m=8, k=16, dim=64),
-        "pq_adc_topk": P.pq_adc_topk_sql(m=8, k_cent=16, dim=64,
-                                         k=10, n_queries=5),
-        "ann_ivfpq_topk": P.ann_ivfpq_topk_sql(m=8, k_cent=16, dim=64,
-                                               n_probe=4, k=10,
-                                               n_queries=5),
-        # identical chain: the indexed query persists + restores the
-        # same seed quantizers, so the raw-table oracle re-derivation
-        # certifies the parquet round-trip end to end
-        "ann_ivfpq_indexed": P.ann_ivfpq_topk_sql(m=8, k_cent=16,
-                                                  dim=64, n_probe=4,
-                                                  k=10, n_queries=5),
-        "chunk_documents": P.chunk_documents_sql(chunk_tokens=32,
-                                                 stride=24),
-        "pack_chunks": P.pack_chunks_sql(chunk_tokens=32, stride=24,
-                                         capacity=128, n_shards=8),
-        "curation_funnel": _curation_funnel_sql(),
-        "curation_funnel_v2": _curation_funnel_sql(near_dup=True),
-        "hot_shingles": P.hot_shingles_sql(max_df=4),
-        "dup_rate_by_source": P.dup_rate_by_source_sql(),
-        "corpus_diff": P.corpus_diff_sql(),
-        "winnow_containment": P.winnow_containment_sql(threshold=0.3),
-        "tfidf_topk": P.tfidf_topk_sql(k=5),
-        "dataset_split": P.dataset_split_sql(train=0.8, val=0.1),
-        "length_quantiles": P.corpus_length_quantiles_sql(),
-        "semantic_dedup": P.semantic_dedup_sql(n_centroids=16,
-                                               threshold=0.3),
-        "mixture_weights": P.mixture_weights_sql(budget_tokens=30000),
-        "incremental_update": P.incremental_update_sql(threshold=0.2),
-    }
-
-
-def _curation_funnel_sql(q_min: float = 0.5, top2_max: float = 0.12,
-                         k: int = 10, near_dup: bool = False,
-                         nd_threshold: float = 0.2) -> str:
-    """Mirror of q_curation_funnel / q_curation_funnel_v2:
-    quality/language fragments copied verbatim from the (oracle-green)
-    token_stats SQL, md5-normalized exact-dedup canon, top-2-gram
-    repetition gate, md5-32 quota rank. ``near_dup=True`` inserts the
-    v2 stage 2b — the portable minhash-LSH pair chain (shared
-    _minhash_pair_ctes, the exact chain the green minhash_lsh_pairs
-    row checks) feeding a WITH RECURSIVE transitive closure and a
-    keep-best-quality representative pick. Parameters MUST match the
-    q_curation_funnel* calls."""
-    from pdfextraction_spark.oracle.portable_sql import (
-        _MD5_32,
-        _minhash_pair_ctes,
+    from pdfextraction_spark.oracle.driver_oracles import (
+        oracle_sql as _impl,
     )
 
-    stop_ratio = ("(CASE WHEN n_ws = 0 THEN 0.0 "
-                  "ELSE n_stop * 1.0 / n_ws END)")
-    punct_ratio = ("(CASE WHEN n_chars = 0 THEN 0.0 "
-                   "ELSE n_punct * 1.0 / n_chars END)")
-    u = _MD5_32.format(expr="CAST(doc_id AS VARCHAR)")
-    nd_block = ""
-    kept_src = "surv"
-    recursive = ""
-    if near_dup:
-        recursive = "RECURSIVE "
-        kept_src = "surv2"
-        nd_block = f"""{_minhash_pair_ctes(
-            "surv", n=3, num_hashes=32, bands=8,
-            threshold=nd_threshold, prefix="mh_")},
-        und AS (
-          SELECT id_a AS a, id_b AS b FROM mh_pairs
-          UNION
-          SELECT id_b, id_a FROM mh_pairs
-        ), reach(node, r) AS (
-          SELECT doc_id, doc_id FROM surv
-          UNION
-          SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.node
-        ), comp AS (
-          SELECT node AS doc_id, MIN(r) AS cluster_id
-          FROM reach GROUP BY node
-        ), reps AS (
-          SELECT doc_id FROM (
-            SELECT c.doc_id,
-                   row_number() OVER (PARTITION BY c.cluster_id
-                                      ORDER BY s.q_score DESC,
-                                               c.doc_id ASC) AS rn
-            FROM comp c JOIN surv s USING (doc_id)
-          ) WHERE rn = 1
-        ), surv2 AS (
-          SELECT s.doc_id, s.text, s.lang
-          FROM surv s JOIN reps USING (doc_id)
-        ),"""
-    return f"""
-        WITH {recursive}q AS (
-          SELECT doc_id, text, lang,
-            length(text) AS n_chars,
-            length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-              AS n_punct,
-            CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
-              AS n_ws,
-            CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE len(list_filter(
-                        regexp_split_to_array(lower(trim(text)), '\\s+'),
-                        x -> x IN {_STOPWORDS_SQL})) END AS n_stop,
-            length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
-              AS n_ascii
-          FROM documents
-        ), gated AS (
-          SELECT doc_id, text, lang,
-                 round((least(n_chars / 500.0, 1.0)
-                  + (1.0 - least({punct_ratio} * 4.0, 1.0))
-                  + least({stop_ratio} * 5.0, 1.0)) / 3.0, 4) AS q_score
-          FROM q
-          WHERE round((least(n_chars / 500.0, 1.0)
-                 + (1.0 - least({punct_ratio} * 4.0, 1.0))
-                 + least({stop_ratio} * 5.0, 1.0)) / 3.0, 4) >= {q_min}
-            AND {stop_ratio} >= 0.05
-            AND n_ascii * 1.0 / greatest(n_chars, 1) >= 0.9
-        ), canon AS (
-          SELECT min(doc_id) AS doc_id FROM (
-            SELECT doc_id,
-                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-                     AS fp
-            FROM gated
-          ) GROUP BY fp
-        ), surv AS (
-          SELECT g.doc_id, g.text, g.lang, g.q_score
-          FROM gated g JOIN canon USING (doc_id)
-        ), {nd_block} toks AS (
-          SELECT doc_id, length(text) AS total_chars,
-                 string_split(text, ' ') AS t
-          FROM {kept_src}
-        ), g2 AS (
-          SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
-          FROM toks, LATERAL (SELECT unnest(generate_series(
-                       1, len(toks.t) - 1)) AS i) u
-          WHERE len(t) >= 2
-        ), c2 AS (
-          SELECT doc_id, gram, count(*) AS cnt FROM g2
-          GROUP BY doc_id, gram
-        ), a2 AS (
-          SELECT doc_id, max(cnt * length(gram)) AS top_chars FROM c2
-          GROUP BY doc_id
-        ), calm AS (
-          SELECT tk.doc_id
-          FROM toks tk LEFT JOIN a2 USING (doc_id)
-          WHERE round(coalesce(a2.top_chars, 0) / tk.total_chars, 6)
-                <= {top2_max}
-        ), final AS (
-          SELECT s.doc_id, s.lang
-          FROM {kept_src} s JOIN calm USING (doc_id)
-        )
-        SELECT doc_id, lang, sample_rank FROM (
-          SELECT doc_id, lang,
-                 row_number() OVER (PARTITION BY lang
-                                    ORDER BY ({u}) ASC, doc_id ASC)
-                   AS sample_rank
-          FROM final
-        ) WHERE sample_rank <= {k}
-    """
-
-
-def _golden_oracle_sql() -> dict[str, str]:
-    """DuckDB oracles for the extraction-family queries: plain SQL over
-    parquet written by the LOOP-BASED oracle (pdfextraction_spark/
-    oracle/, the reference-semantics mirror) — independent of every
-    vectorized kernel the Spark queries execute. Golden tables are
-    (re)generated on demand, version-keyed; paths are for the 's'
-    fixture tier, which is what the driver's sf0.01 correctness run
-    maps to."""
-    from fixtures.golden import ensure_golden
-    from pdfextraction_spark.oracle import portable_sql as P
-    from pdfextraction_spark.sources.transcripts import (
-        ensure_fixture_parquet,
-    )
-
-    fx = ensure_fixture_parquet("s")
-
-    def ctx_window_ctes(extra_cols: str = "") -> str:
-        """Shared tk/c/j CTE chain of the budget-100 context-window
-        derivation over golden turns (single home — the
-        context_windows and sft_samples oracles compose it, so the
-        tokenization/window-start semantics can never desynchronize).
-        ``extra_cols`` rides passthrough columns (e.g. ', role')."""
-        return f"""tk AS (
-              SELECT conv_id, turn_idx{extra_cols},
-                CASE WHEN length(trim(coalesce(extracted_text, ''))) = 0
-                       THEN 0
-                     ELSE len(regexp_split_to_array(
-                            trim(coalesce(extracted_text, '')),
-                            '\\s+')) END AS tok
-              FROM read_parquet('{t("turns")}')
-            ), c AS (
-              SELECT conv_id, turn_idx{extra_cols}, tok,
-                     SUM(tok) OVER w AS cum,
-                     row_number() OVER w AS rn
-              FROM tk
-              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
-            ), j AS (
-              SELECT a.conv_id, a.turn_idx{extra_cols.replace(", ", ", a.") if extra_cols else ""},
-                     a.tok, a.cum, a.rn,
-                     min(b.rn) AS jrn,
-                     min(b.turn_idx) AS jidx,
-                     min(b.cum - b.tok) AS jprefix
-              FROM c a LEFT JOIN c b
-                ON a.conv_id = b.conv_id AND b.rn <= a.rn
-               AND (b.cum - b.tok) >= a.cum - 100
-              GROUP BY a.conv_id, a.turn_idx{extra_cols.replace(", ", ", a.") if extra_cols else ""},
-                       a.tok, a.cum, a.rn
-            )"""
-
-    g = ensure_golden("s")
-
-    def t(name: str) -> str:
-        return os.path.join(g, f"{name}.parquet")
-
-    quality_feat = """
-              CASE WHEN length(trim(text)) = 0 THEN 0
-                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws,
-              length(text) AS n_chars,
-              length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
-              CASE WHEN length(trim(text)) = 0 THEN 0
-                   ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                                        x -> x IN {stop})) END AS n_stop,
-              length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS n_ascii
-    """.format(stop=_STOPWORDS_SQL)
-    return {
-        "extract_turns": f"""
-            SELECT conv_id, turn_idx, role, ts, payload_kind,
-                   extracted_text, spans, blocks_kept, blocks_dropped,
-                   parse_failed
-            FROM read_parquet('{t("turns")}')
-        """,
-        "extract_metrics": f"""
-            SELECT payload_kind, COUNT(*) AS n_turns,
-                   CAST(SUM(blocks_kept) AS BIGINT) AS blocks_kept,
-                   CAST(SUM(blocks_dropped) AS BIGINT) AS blocks_dropped,
-                   CAST(SUM(CAST(parse_failed AS INTEGER)) AS BIGINT) AS parse_failures
-            FROM read_parquet('{t("turns")}')
-            GROUP BY payload_kind
-        """,
-        "merge_conv_fields": f"""
-            SELECT conv_id, field, value, source_turn, conflict_detected,
-                   n_occurrences
-            FROM read_parquet('{t("merge")}')
-        """,
-        "conv_schema": f"""
-            SELECT conv_id,
-                   string_agg(field, ',' ORDER BY field) AS form_fields,
-                   COUNT(*) AS n_fields
-            FROM read_parquet('{t("merge")}')
-            GROUP BY conv_id
-        """,
-        "extract_tables": f"""
-            SELECT conv_id, turn_idx, table_idx, headers, columns,
-                   row_idx, cells
-            FROM read_parquet('{t("tables")}')
-        """,
-        "table_anomalies": f"""
-            SELECT conv_id, turn_idx, table_idx, COUNT(*) AS n_rows,
-                   COUNT(DISTINCT len(list_filter(string_split(cells, chr(31)),
-                                                  x -> x <> chr(0)))) > 1 AS anomaly
-            FROM read_parquet('{t("tables")}')
-            GROUP BY conv_id, turn_idx, table_idx
-        """,
-        "spacing_stats": f"""
-            SELECT conv_id, turn_idx,
-                   round(avg_spacing, 4) AS avg_spacing,
-                   round(median_spacing, 4) AS median_spacing,
-                   round(spacing_std, 4) AS spacing_std
-            FROM read_parquet('{t("spacing")}')
-        """,
-        "fence_json": f"""
-            SELECT conv_id, turn_idx, status, "count", n_items
-            FROM read_parquet('{t("fence")}')
-        """,
-        "classify_blocks": f"""
-            WITH f AS (
-              SELECT conv_id, turn_idx,
-                     CAST(len(list_filter(string_split(spans, '|'),
-                                          s -> s LIKE 'fields:%')) AS BIGINT)
-                       AS n_field_lines
-              FROM read_parquet('{t("turns")}')
-              WHERE payload_kind = 'pdf_layout' AND NOT parse_failed
-            ), tr AS (
-              SELECT conv_id, turn_idx,
-                     CAST(COUNT(DISTINCT table_idx) AS BIGINT) AS n_table_regions
-              FROM read_parquet('{t("tables")}')
-              GROUP BY conv_id, turn_idx
-            )
-            SELECT f.conv_id, f.turn_idx,
-                   CASE WHEN coalesce(tr.n_table_regions, 0) > 0
-                             AND f.n_field_lines > 0 THEN 'mixed'
-                        WHEN coalesce(tr.n_table_regions, 0) > 0 THEN 'table'
-                        WHEN f.n_field_lines > 0 THEN 'form'
-                        ELSE 'unknown' END AS block_class,
-                   CASE WHEN coalesce(tr.n_table_regions, 0) > 0
-                             OR f.n_field_lines > 0
-                        THEN round(0.5 + 0.1 * least(
-                               f.n_field_lines
-                                 + 2 * coalesce(tr.n_table_regions, 0), 4), 2)
-                        ELSE 0.0 END AS confidence,
-                   coalesce(tr.n_table_regions, 0) AS n_table_regions,
-                   f.n_field_lines
-            FROM f LEFT JOIN tr USING (conv_id, turn_idx)
-        """,
-        "merge_tables": f"""
-            SELECT conv_id, headers, total_rows, source_turns,
-                   rows_by_turn, spans_multiple_turns
-            FROM read_parquet('{t("table_merge")}')
-        """,
-        "schema_norm": f"""
-            SELECT sample_id, normalized
-            FROM read_parquet('{t("schema_norm")}')
-        """,
-        "extraction_anomalies": f"""
-            SELECT conv_id, anomaly_type, subject, issue, detail
-            FROM read_parquet('{t("anomalies")}')
-        """,
-        "apply_corrections": f"""
-            SELECT conv_id, field, value, source, machine_value,
-                   source_turn, conflict_detected
-            FROM read_parquet('{t("corrections")}')
-        """,
-        "final_json": f"""
-            SELECT conv_id, final_json
-            FROM read_parquet('{t("final_json")}')
-        """,
-        "image_features": f"""
-            SELECT media_id, width, height, mean_byte, std_byte, phash
-            FROM read_parquet('{t("image_features")}')
-        """,
-        "audio_features": f"""
-            SELECT media_id, sample_rate, duration_sec, rms, zcr, peak
-            FROM read_parquet('{t("audio_features")}')
-        """,
-        "video_frames": f"""
-            SELECT media_id, frame_idx, frame_mean, frame_std,
-                   frame_digest, decoded
-            FROM read_parquet('{t("video_frames")}')
-        """,
-        "conv_dedup": f"""
-            WITH src AS (
-              SELECT conv_id, turn_idx, text
-              FROM read_parquet('{fx}')
-            ), all_t AS (
-              SELECT conv_id, turn_idx, text FROM src
-              UNION ALL
-              SELECT conv_id || '~copy', turn_idx,
-                     '  ' || upper(text) || ' '
-              FROM src WHERE conv_id LIKE '%0'
-            ), nt AS (
-              SELECT conv_id, turn_idx,
-                md5(regexp_replace(lower(trim(coalesce(text, ''))),
-                                   '\\s+', ' ', 'g')) AS tfp
-              FROM all_t
-            ), fpt AS (
-              SELECT conv_id,
-                     md5(string_agg(tfp, ',' ORDER BY turn_idx)) AS fp
-              FROM nt GROUP BY conv_id
-            ), grp AS (
-              SELECT fp, MIN(conv_id) AS canonical_id,
-                     COUNT(*) AS group_size
-              FROM fpt GROUP BY fp
-            )
-            SELECT f.conv_id, g.canonical_id,
-                   f.conv_id = g.canonical_id AS is_canonical,
-                   g.group_size
-            FROM fpt f JOIN grp g USING (fp)
-        """,
-        "sft_samples": f"""
-            WITH {ctx_window_ctes(", role, parse_failed")}
-            SELECT conv_id, turn_idx, CAST(tok AS BIGINT) AS n_tokens,
-                   CAST(coalesce(jidx, turn_idx) AS INTEGER)
-                     AS ctx_start_idx,
-                   CAST(coalesce(rn - jrn + 1, 1) AS INTEGER)
-                     AS ctx_n_turns,
-                   CAST(coalesce(cum - jprefix, tok) AS BIGINT)
-                     AS ctx_tokens
-            FROM j
-            WHERE role = 'assistant' AND NOT parse_failed
-              AND coalesce(rn - jrn + 1, 1) >= 2
-        """,
-        "sft_packed": f"""
-            WITH {ctx_window_ctes(", role, parse_failed")}, samp AS (
-              SELECT conv_id, turn_idx,
-                     CAST(coalesce(cum - jprefix, tok) AS BIGINT)
-                       AS ctx_tokens
-              FROM j
-              WHERE role = 'assistant' AND NOT parse_failed
-                AND coalesce(rn - jrn + 1, 1) >= 2
-            ), {P.pack_tail_sql("samp", capacity=512, n_shards=8,
-                                id_col="conv_id", idx_col="turn_idx",
-                                len_col="ctx_tokens")}
-        """,
-        "context_windows": f"""
-            WITH {ctx_window_ctes()}
-            SELECT conv_id, turn_idx, CAST(tok AS BIGINT) AS n_tokens,
-                   CAST(coalesce(jidx, turn_idx) AS INTEGER)
-                     AS ctx_start_idx,
-                   CAST(coalesce(rn - jrn + 1, 1) AS INTEGER)
-                     AS ctx_n_turns,
-                   CAST(coalesce(cum - jprefix, tok) AS BIGINT)
-                     AS ctx_tokens,
-                   jrn IS NULL AS truncated
-            FROM j
-        """,
-        "training_filter": f"""
-            WITH feat AS (
-              SELECT conv_id, turn_idx, payload_kind,
-                {quality_feat}
-              FROM (SELECT conv_id, turn_idx, payload_kind,
-                           extracted_text AS text
-                    FROM read_parquet('{t("turns")}')
-                    WHERE NOT parse_failed)
-            )
-            SELECT conv_id, turn_idx, payload_kind,
-                   round((least(n_chars / 500.0, 1.0)
-                          + (1.0 - least((CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct * 1.0 / n_chars END) * 4.0, 1.0))
-                          + least((CASE WHEN n_ws = 0 THEN 0.0 ELSE n_stop * 1.0 / n_ws END) * 5.0, 1.0)) / 3.0, 4) AS quality,
-                   (CASE WHEN n_ws = 0 THEN 0.0 ELSE n_stop * 1.0 / n_ws END) >= 0.05
-                     AND n_ascii * 1.0 / greatest(n_chars, 1) >= 0.9 AS is_en,
-                   CAST(n_chars AS BIGINT) AS n_chars
-            FROM feat
-            WHERE quality >= 0.3 AND n_chars >= 20
-        """,
-    }
+    return _impl()

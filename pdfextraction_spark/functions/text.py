@@ -33,6 +33,22 @@ def ws_tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
+def clip_text(col: Column, n: int) -> Column:
+    """O5 truncation guard (openai_service.py:821,829 ``text[:4000]``,
+    :898 ``text[:3000]``): hard character cap. The engine keeps full
+    text by default (no LLM context limit downstream) — this is the
+    opt-in semantic-divergence knob for reference parity."""
+    return F.substring(col, 1, n)
+
+
+def preview_text(col: Column, n: int = 200) -> Column:
+    """X21 preview ellipsis (multipage_processor.py:28): first ``n``
+    chars + '...' only when the text actually exceeds ``n``."""
+    return F.when(
+        F.length(col) > n, F.concat(F.substring(col, 1, n), F.lit("..."))
+    ).otherwise(col)
+
+
 def ws_token_count(col: Column) -> Column:
     return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
         F.size(ws_tokens(col))

@@ -72,3 +72,21 @@ def decode_pdf_envelope(text: str) -> Optional[List[Tuple[str, float, float, flo
         ]
     except Exception:
         return None
+
+
+def decode_pdf_envelope_full(
+    text: str,
+) -> Optional[Tuple[List[Tuple[str, float, float, float, float]], float, float]]:
+    """Like decode_pdf_envelope but also returns the page dimensions
+    (defaulting to the reference sample's 612x792 when absent) — the
+    render path (S4) needs the page canvas, not just the words."""
+    words = decode_pdf_envelope(text)
+    if words is None:
+        return None
+    try:
+        obj = json.loads(text)
+        pw = float(obj.get("page_width", 612.0))
+        ph = float(obj.get("page_height", 792.0))
+    except Exception:
+        pw, ph = 612.0, 792.0
+    return words, pw, ph

@@ -59,8 +59,19 @@ def run_extraction_job(
     n_chunks: int = 4,
     fail_after_chunks: Optional[int] = None,
     fail_before_manifest_chunk: Optional[int] = None,
+    debug_dir: Optional[str] = None,
 ) -> dict:
     """Resumable extraction job. Returns a summary dict.
+
+    ``debug_dir`` is the S9 debug-response sink (reference
+    openai_service.py:47-69 dumps every prompt/response to
+    ``debug_responses/*.txt``): when set, every parse-FAILED turn of a
+    committed chunk is appended there as parquet — raw payload (the
+    "prompt"), extractor output (the "response"), and the run/commit
+    lineage the reference encodes in its debug filenames. Failures
+    only: at corpus scale dumping every success is a second copy of
+    the corpus; the reference's all-calls dump is a single-process
+    debugging aid, and failures are the rows a debugger needs.
 
     SINGLE WRITER ONLY: at most one job at a time per
     (output_path, manifest_path) — orphan-commit reconciliation at job
@@ -80,7 +91,7 @@ def run_extraction_job(
         return _run_locked(
             spark, input_path, output_path, manifest_path, run_id,
             num_partitions, salt_turns, n_chunks, fail_after_chunks,
-            fail_before_manifest_chunk,
+            fail_before_manifest_chunk, debug_dir,
         )
 
 
@@ -95,6 +106,7 @@ def _run_locked(
     n_chunks: int,
     fail_after_chunks: Optional[int],
     fail_before_manifest_chunk: Optional[int],
+    debug_dir: Optional[str] = None,
 ) -> dict:
     run_id = run_id or uuid.uuid4().hex[:12]
     snapshot = snapshot_id_for_path(input_path)
@@ -180,6 +192,30 @@ def _run_locked(
             for p in part_group
         ]
         append_manifest(spark, manifest_path, rows)
+        if debug_dir is not None:
+            # S9 debug-response sink: parse-failed rows of THIS committed
+            # chunk, raw payload joined back from the input scan (the
+            # extractor output drops the raw text by design). Failures
+            # are rare, so the filtered side is small; the equi-join is
+            # partition-local after the commit_id partition prune.
+            failed = (
+                spark.read.parquet(output_path)
+                .filter((F.col("commit_id") == commit_id) & F.col("parse_failed"))
+                .select(
+                    "conv_id", "turn_idx", "payload_kind", "extracted_text",
+                    "run_id", "commit_id", "extractor_version",
+                )
+            )
+            raw = turns.select(
+                "conv_id", "turn_idx", F.col("text").alias("raw_payload")
+            )
+            (
+                failed.join(raw, ["conv_id", "turn_idx"], "left")
+                .withColumn("dumped_at", F.lit(now))
+                .write.mode("append")
+                .partitionBy("commit_id")
+                .parquet(debug_dir)
+            )
         total_rows += sum(r["row_count"] for r in rows)
         for k, v in (obs.get or {}).items():
             if v is not None:
