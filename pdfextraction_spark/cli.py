@@ -39,8 +39,27 @@ def _cmd_extract(args: argparse.Namespace) -> int:
             num_partitions=args.num_partitions,
             salt_turns=args.salt_turns,
             n_chunks=args.chunks,
+            debug_dir=args.debug_dir,
         )
         print(json.dumps(summary))
+        return 0
+    finally:
+        spark.stop()
+
+
+def _cmd_render(args: argparse.Namespace) -> int:
+    """S4 page render: transcripts parquet -> PNG page images parquet."""
+    from .functions.render import render_pages
+    from .session import build_session
+
+    spark = build_session("pdfx-render", master=args.master)
+    try:
+        turns = spark.read.parquet(args.input)
+        render_pages(turns, dpi=args.dpi).write.mode(args.mode).parquet(
+            args.output
+        )
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"pages": n, "dpi": args.dpi, "output": args.output}))
         return 0
     finally:
         spark.stop()
@@ -208,7 +227,18 @@ def main(argv=None) -> int:
     e.add_argument("--num-partitions", type=int, default=32)
     e.add_argument("--salt-turns", type=int, default=256)
     e.add_argument("--chunks", type=int, default=4)
+    e.add_argument("--debug-dir", default=None,
+                   help="S9 debug sink: dump parse-failed turns here")
     e.set_defaults(fn=_cmd_extract)
+
+    rn = sub.add_parser("render",
+                        help="S4: rasterize pdf_layout turns to PNG pages")
+    rn.add_argument("--input", required=True)
+    rn.add_argument("--output", required=True)
+    rn.add_argument("--dpi", type=int, default=300)
+    rn.add_argument("--mode", default="error")
+    rn.add_argument("--master", default=None)
+    rn.set_defaults(fn=_cmd_render)
 
     z = sub.add_parser("package", help="build the --py-files zip")
     z.add_argument("--out", default="/tmp/pdfextraction_spark.zip")

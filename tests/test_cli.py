@@ -166,3 +166,19 @@ def test_cli_ann_build_then_search(tmp_path):
         f"select max(rank), count(distinct query_id) from '{out}/*.parquet'"
     ).fetchone()
     assert mx[0] <= 3 and mx[1] == s["queries"]
+
+
+@pytest.mark.slow
+def test_cli_render_end_to_end(xs_parquet, tmp_path):
+    out = str(tmp_path / "pages")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, "-m", "pdfextraction_spark.cli", "render",
+         "--input", xs_parquet, "--output", out,
+         "--dpi", "18", "--master", "local[4]"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["pages"] > 0 and summary["dpi"] == 18
+    assert os.path.isdir(out)

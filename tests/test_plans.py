@@ -273,3 +273,22 @@ class TestRound4Plans:
                                              "/root/testdata/sf0.001"))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_usage_costs_pricing_dim_broadcast(self, spark):
+        """X19: the pricing table is a 4-row dim — it must ride a
+        BroadcastHashJoin (a shuffle join keyed on `model` would
+        shuffle the whole usage stream through 5 hot keys)."""
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_usage_costs(spark, "/root/testdata/sf0.001"))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_render_pages_no_shuffle(self, spark):
+        """S4: one page renders independently of every other page —
+        the raster stage must stay narrow (zero Exchange)."""
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_render_pages(spark, "/root/testdata/sf0.001"))
+        assert "Exchange" not in plan
+        assert "MapInPandas" in plan

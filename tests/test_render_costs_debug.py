@@ -187,3 +187,68 @@ def test_debug_response_sink(spark, tmp_path):
     a = set(map(tuple, pdump[["conv_id", "turn_idx"]].values))
     b = set(map(tuple, failed.select("conv_id", "turn_idx").toPandas().values))
     assert a == b
+
+
+# ------------------------------------------------- property tests
+
+def test_render_decomposition_property():
+    """Hypothesis: rendering all boxes at once equals OR-ing
+    one-box-at-a-time renders (different execution path through the
+    same rasterizer), and ink never exceeds the per-box ceil-area sum
+    or the canvas."""
+    try:
+        from hypothesis import given, settings, strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    box = st.tuples(
+        st.floats(0, 90), st.floats(0, 40),
+        st.floats(0, 110), st.floats(0, 60),
+    ).map(lambda b: ("w", min(b[0], b[2]), min(b[1], b[3]),
+                     max(b[0], b[2]), max(b[1], b[3])))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(box, min_size=1, max_size=8), st.sampled_from([36, 72, 90]))
+    def prop(words, dpi):
+        whole = rasterize_words(words, 100, 50, dpi)
+        union = np.full_like(whole, 255)
+        cap = 0
+        for w in words:
+            one = rasterize_words([w], 100, 50, dpi)
+            union = np.minimum(union, one)
+            cap += int((one == 0).sum())
+        assert np.array_equal(whole, union)
+        ink = int((whole == 0).sum())
+        assert 1 <= ink <= min(cap, whole.size)
+
+    prop()
+
+
+def test_cost_nanos_exact_vs_rational_reference():
+    """Hypothesis: BIGINT nanodollar arithmetic equals the reference
+    formula evaluated in EXACT rational arithmetic (Fraction), for
+    every model and the fallback, at any token count — i.e. the
+    integer path is the reference's math with the float error and the
+    lossy round(,6) removed."""
+    try:
+        from hypothesis import given, settings, strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+    from fractions import Fraction
+
+    from pdfextraction_spark.functions.costs import _nanos_per_token
+
+    rates = dict(PRICING)
+    rates["anything-else"] = FALLBACK
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.sampled_from(sorted(rates)), st.integers(0, 10**12),
+           st.integers(0, 10**12))
+    def prop(model, in_t, out_t):
+        p_in, p_out = rates[model]
+        nanos = in_t * _nanos_per_token(p_in) + out_t * _nanos_per_token(p_out)
+        exact = (Fraction(in_t, 1000) * Fraction(str(p_in))
+                 + Fraction(out_t, 1000) * Fraction(str(p_out)))
+        assert Fraction(nanos, 10**9) == exact
+
+    prop()
