@@ -64,6 +64,7 @@ from pdfextraction_spark.queries import (  # noqa: F401
     q_incremental_update,
     q_json_extract,
     q_length_quantiles,
+    q_lm_perplexity,
     q_longest_wins,
     q_merge_conv_fields,
     q_merge_tables,
@@ -155,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_guards": q_text_guards,
         "usage_costs": q_usage_costs,
         "render_pages": q_render_pages,
+        "lm_perplexity": q_lm_perplexity,
         # --- long-stamped core surface (green since r1-r3) ---
         "sessionize_events": q_sessionize,
         "longest_wins_merge": q_longest_wins,

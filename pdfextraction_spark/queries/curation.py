@@ -304,3 +304,24 @@ def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("quality") >= 0.3) & (F.col("n_chars") >= 20))
     )
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): train an
+    add-1 unigram LM (top-20 vocab + OOV symbol) on the documents
+    corpus, score every document's perplexity with it. vocab_size=20
+    against the sf tables' ~31-word vocabulary so BOTH the in-vocab
+    and the OOV pricing branch carry mass in the checked result.
+    ppl rounded to 4dp (ln/exp cross-engine float drift ~1e-13 —
+    the tfidf-precedent boundary-flip risk, accepted + documented)."""
+    from pdfextraction_spark.functions.lm import (
+        perplexity_score,
+        train_unigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm, oov_logp, _n = train_unigram_lm(docs, vocab_size=20, alpha=1.0)
+    scores = perplexity_score(docs, lm, oov_logp)
+    return scores.select(
+        "doc_id", "n_tokens", F.round("ppl", 4).alias("ppl")
+    )

@@ -292,3 +292,27 @@ class TestRound4Plans:
         plan = _plan(em.q_render_pages(spark, "/root/testdata/sf0.001"))
         assert "Exchange" not in plan
         assert "MapInPandas" in plan
+
+    def test_lm_vectorized_path_narrow(self, spark):
+        """The corpus-scale LM scoring path carries the bounded model
+        in a pandas_udf closure — no explode, no shuffle."""
+        from pdfextraction_spark.functions.lm import (
+            perplexity_score, train_unigram_lm,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        lm, oov, _ = train_unigram_lm(docs, vocab_size=20)
+        plan = _plan(perplexity_score(docs, lm, oov, vectorized=True))
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" in plan
+
+    def test_lm_exact_path_broadcasts_model(self, spark):
+        from pdfextraction_spark.functions.lm import (
+            perplexity_score, train_unigram_lm,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        lm, oov, _ = train_unigram_lm(docs, vocab_size=20)
+        plan = _plan(perplexity_score(docs, lm, oov))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
