@@ -76,6 +76,7 @@ from pdfextraction_spark.queries import (  # noqa: F401
     q_ngram_jaccard_join,
     q_ordered_accumulate,
     q_pack_chunks,
+    q_ppl_buckets,
     q_pq_adc_topk,
     q_pq_encode,
     q_quota_sample,
@@ -157,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "usage_costs": q_usage_costs,
         "render_pages": q_render_pages,
         "lm_perplexity": q_lm_perplexity,
+        "ppl_buckets": q_ppl_buckets,
         # --- long-stamped core surface (green since r1-r3) ---
         "sessionize_events": q_sessionize,
         "longest_wins_merge": q_longest_wins,

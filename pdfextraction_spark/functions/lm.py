@@ -152,3 +152,48 @@ def lm_quality_gate(
         scores.filter(F.col("ppl") <= max_ppl).select(id_col, "ppl"),
         id_col,
     )
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    lm: DataFrame,
+    oov_logp: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probs: Tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    vectorized: bool = False,
+    approx: Optional[float] = None,
+) -> DataFrame:
+    """CCNet head/middle/tail stratification: split the corpus at the
+    ppl percentiles in ``probs``. Scale shape: the cutoffs are TWO
+    broadcast scalars (never a global ntile window — a single-
+    partition sort is the anti-pattern this function exists to avoid);
+    assignment is a plain CASE comparison. ``approx`` switches the
+    cutoff estimate to percentile_approx(accuracy=approx) for
+    billion-row corpora (the length_quantiles dial precedent)."""
+    # two consumers (cutoff agg + bucket projection): checkpoint the
+    # slim per-doc scores so the scoring chain runs once (the family's
+    # lineage-cut discipline)
+    scores = perplexity_score(
+        docs, lm, oov_logp, id_col=id_col, text_col=text_col,
+        vectorized=vectorized,
+    ).localCheckpoint()
+    lo_p, hi_p = probs
+    if approx is None:
+        agg = scores.agg(
+            F.percentile("ppl", F.lit(lo_p)).alias("lo"),
+            F.percentile("ppl", F.lit(hi_p)).alias("hi"),
+        )
+    else:
+        agg = scores.agg(
+            F.percentile_approx("ppl", F.lit(lo_p), F.lit(int(approx))).alias("lo"),
+            F.percentile_approx("ppl", F.lit(hi_p), F.lit(int(approx))).alias("hi"),
+        )
+    row = agg.collect()[0]  # bounded: two scalars
+    lo, hi = float(row["lo"]), float(row["hi"])
+    bucket = (
+        F.when(F.col("ppl") <= lo, F.lit("head"))
+        .when(F.col("ppl") <= hi, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scores.withColumn("bucket", bucket)

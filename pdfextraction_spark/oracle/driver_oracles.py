@@ -701,6 +701,48 @@ def _golden_oracle_sql() -> dict[str, str]:
                    ROUND(EXP(-AVG(lp)), 4) AS ppl
             FROM scored GROUP BY doc_id
         """,
+        "ppl_buckets": """
+            WITH toks0 AS (
+              SELECT doc_id,
+                unnest(regexp_split_to_array(
+                  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                  ' ')) AS tok
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, tok FROM toks0 WHERE tok <> ''
+            ), counts AS (
+              SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+            ), tot AS (
+              SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts
+            ), vocab AS (
+              SELECT tok, c FROM counts ORDER BY c DESC, tok ASC LIMIT 20
+            ), iv AS (
+              SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS s FROM vocab
+            ), lmt AS (
+              SELECT tok,
+                     ln((c + 1.0) / ((SELECT n FROM tot) + 21.0)) AS logp
+              FROM vocab
+            ), scored AS (
+              SELECT t.doc_id,
+                     coalesce(l.logp,
+                       ln(((SELECT n FROM tot) - (SELECT s FROM iv) + 1.0)
+                          / ((SELECT n FROM tot) + 21.0))) AS lp
+              FROM toks t LEFT JOIN lmt l ON t.tok = l.tok
+            ), ppl AS (
+              SELECT doc_id, COUNT(*) AS n_tokens,
+                     EXP(-AVG(lp)) AS ppl
+              FROM scored GROUP BY doc_id
+            ), cuts AS (
+              SELECT quantile_cont(ppl, 1.0/3.0) AS lo,
+                     quantile_cont(ppl, 2.0/3.0) AS hi
+              FROM ppl
+            )
+            SELECT p.doc_id, p.n_tokens,
+                   CASE WHEN p.ppl <= (SELECT lo FROM cuts) THEN 'head'
+                        WHEN p.ppl <= (SELECT hi FROM cuts) THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM ppl p
+        """,
         "conv_dedup": f"""
             WITH src AS (
               SELECT conv_id, turn_idx, text

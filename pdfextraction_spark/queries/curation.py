@@ -325,3 +325,22 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.select(
         "doc_id", "n_tokens", F.round("ppl", 4).alias("ppl")
     )
+
+
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus stratification: tercile cutoffs
+    of the LM perplexity (broadcast scalars, NOT a global ntile
+    window), CASE bucket assignment. Spark `percentile` and DuckDB
+    `quantile_cont` are both R-7 (length_quantiles precedent); ppl is
+    a double, so a cross-engine flip would need a doc within ~1e-13
+    of a cutoff — accepted, same as the ln/exp drift of the parent
+    query."""
+    from pdfextraction_spark.functions.lm import (
+        ppl_buckets,
+        train_unigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm, oov_logp, _n = train_unigram_lm(docs, vocab_size=20, alpha=1.0)
+    b = ppl_buckets(docs, lm, oov_logp)
+    return b.select("doc_id", "n_tokens", "bucket")

@@ -108,3 +108,34 @@ def test_quality_gate(tiny_docs):
     ids = sorted(r["doc_id"] for r in kept.collect())
     assert ids == sorted(order[:2])
     assert set(kept.columns) == {"doc_id", "text", "ppl"}
+
+
+def test_ppl_buckets_terciles(spark):
+    from pdfextraction_spark.functions.lm import ppl_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lm, oov_logp, _ = train_unigram_lm(docs, vocab_size=20)
+    out = ppl_buckets(docs, lm, oov_logp).toPandas()
+    n = len(out)
+    sizes = out["bucket"].value_counts()
+    # R-7 tercile cutoffs: each bucket holds ~n/3 (ties can shift a
+    # few docs across an edge, never a whole stratum)
+    for b in ("head", "middle", "tail"):
+        assert abs(sizes[b] - n / 3) <= max(3, 0.05 * n), sizes
+    # bucket order respects the score order exactly
+    assert (out[out.bucket == "head"]["ppl"].max()
+            <= out[out.bucket == "middle"]["ppl"].min() + 1e-12)
+    assert (out[out.bucket == "middle"]["ppl"].max()
+            <= out[out.bucket == "tail"]["ppl"].min() + 1e-12)
+
+
+def test_ppl_buckets_approx_dial(spark):
+    from pdfextraction_spark.functions.lm import ppl_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lm, oov_logp, _ = train_unigram_lm(docs, vocab_size=20)
+    exact = ppl_buckets(docs, lm, oov_logp).toPandas()
+    approx = ppl_buckets(docs, lm, oov_logp, approx=10000).toPandas()
+    m = exact.merge(approx, on="doc_id", suffixes=("_e", "_a"))
+    # at accuracy 10k on a small corpus the approx cutoffs agree
+    assert (m["bucket_e"] == m["bucket_a"]).mean() > 0.95
