@@ -58,8 +58,11 @@ def _cmd_render(args: argparse.Namespace) -> int:
         render_pages(turns, dpi=args.dpi).write.mode(args.mode).parquet(
             args.output
         )
+        # pages_total counts the whole output dir (with --mode append
+        # that includes prior runs — the honest label for a read-back)
         n = spark.read.parquet(args.output).count()
-        print(json.dumps({"pages": n, "dpi": args.dpi, "output": args.output}))
+        print(json.dumps({"pages_total": n, "dpi": args.dpi,
+                          "output": args.output, "mode": args.mode}))
         return 0
     finally:
         spark.stop()

@@ -81,12 +81,18 @@ def estimate_costs(
 
 
 def cost_summary(
-    usage_with_costs: DataFrame, by: str = "model"
+    usage_with_costs: DataFrame,
+    by: str = "model",
+    in_col: str = "input_tokens",
+    out_col: str = "output_tokens",
 ) -> DataFrame:
-    """A7-style session cost rollup: integer-exact totals per group."""
+    """A7-style session cost rollup: integer-exact totals per group.
+    ``in_col``/``out_col`` mirror estimate_costs so the two halves of
+    the pipeline compose under renamed usage columns; the output
+    aliases stay canonical."""
     return usage_with_costs.groupBy(by).agg(
         F.count(F.lit(1)).alias("n_calls"),
-        F.sum(F.col("input_tokens").cast("long")).alias("input_tokens"),
-        F.sum(F.col("output_tokens").cast("long")).alias("output_tokens"),
+        F.sum(F.col(in_col).cast("long")).alias("input_tokens"),
+        F.sum(F.col(out_col).cast("long")).alias("output_tokens"),
         F.sum("cost_nanos").alias("cost_nanos"),
     )

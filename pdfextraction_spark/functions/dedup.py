@@ -449,6 +449,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, portable)
     bucket_rows = _band_bucket_rows(sigs, bands, r, portable)
     if bucket_cap is not None:
+        # three consumers below (sizes agg, reps side, b side) — cut
+        # the lineage so the shingle+minhash chain runs ONCE, not 3x
+        # (the family's localCheckpoint discipline; the capped dial
+        # exists precisely for corpora where that chain is expensive)
+        bucket_rows = bucket_rows.localCheckpoint()
         sizes = bucket_rows.groupBy("band", "bucket").agg(
             F.count("*").alias("__bsz")
         )

@@ -6,8 +6,13 @@ quality_score/repetition (SURVEY.md §2 training-pipeline extensions).
 
 Model: add-alpha-smoothed unigram LM over the top-V vocabulary, every
 other token mapped to one OOV symbol carrying the aggregate tail
-count — so the distribution is proper over V+1 symbols and unseen
-tokens at score time cost exactly the OOV log-prob.
+count, SPREAD UNIFORMLY over the tail types (the open-vocabulary
+<unk> correction): a single unseen token costs
+ln(tail_mass / tail_types), not the whole tail mass. Without the
+spread, heavy-tailed corpora price one OOV occurrence at the entire
+tail (~10% of all mass) — cheaper than a median in-vocab word — so a
+document of pure gibberish would score BELOW normal prose and a ppl
+quality gate would invert, keeping spam and cutting text.
 
 Scale shape:
 - training is one tokenize→count aggregation plus a global top-V
@@ -57,8 +62,11 @@ def train_unigram_lm(
     tokens (count desc, token asc tie-break — deterministic) and
     ``oov_logp`` prices every out-of-vocabulary token.
 
-    logp(t) = ln((c_t + alpha) / (N + alpha * (V + 1))), with the OOV
-    symbol's c = N - sum(top-V counts)."""
+    logp(t) = ln((c_t + alpha) / (N + alpha * (V + 1))); the OOV
+    symbol carries c = N - sum(top-V counts) spread over the tail
+    types: oov_logp = ln((c_oov + alpha) / denom) - ln(max(T, 1)),
+    T = distinct tokens - |vocab| (see module docstring for why the
+    spread is load-bearing)."""
     toks = docs.select(
         F.explode(_tokens(F.col(text_col))).alias("token")
     )
@@ -70,15 +78,27 @@ def train_unigram_lm(
     vocab = counts.orderBy(F.col("c").desc(), F.col("token").asc()).limit(
         vocab_size
     )
-    # two bounded scalars: total mass and in-vocab mass
-    n_total = counts.agg(F.sum("c")).collect()[0][0] or 0
-    in_vocab = vocab.agg(F.sum("c")).collect()[0][0] or 0
+    # bounded scalars off the checkpointed counts: total mass,
+    # distinct types, in-vocab mass + in-vocab type count
+    totals = counts.agg(
+        F.sum("c").alias("mass"), F.count(F.lit(1)).alias("types")
+    ).collect()[0]
+    n_total = totals["mass"] or 0
+    n_types = totals["types"] or 0
+    vrow = vocab.agg(
+        F.sum("c").alias("mass"), F.count(F.lit(1)).alias("types")
+    ).collect()[0]
+    in_vocab = vrow["mass"] or 0
+    tail_types = max(n_types - (vrow["types"] or 0), 1)
     denom = n_total + alpha * (vocab_size + 1)
     lm = vocab.select(
         "token",
         F.log((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp"),
     )
-    oov_logp = math.log(((n_total - in_vocab) + alpha) / denom)
+    oov_logp = (
+        math.log(((n_total - in_vocab) + alpha) / denom)
+        - math.log(tail_types)
+    )
     return lm, oov_logp, n_total
 
 

@@ -37,7 +37,7 @@ MAX_PIXELS = 64_000_000
 
 RENDER_SCHEMA = (
     "conv_id string, turn_idx int, dpi int, width int, height int, "
-    "n_words int, ink_pixels long, png binary"
+    "n_words int, ink_pixels long, rendered boolean, png binary"
 )
 
 
@@ -83,15 +83,20 @@ def render_pages(turns: DataFrame, dpi: int = 300) -> DataFrame:
     """Rasterize every pdf_layout turn to a PNG page image.
 
     Narrow mapInPandas over the turns scan — no shuffle; non-layout
-    rows are skipped (they have no page to render). Output carries the
-    PNG bytes plus the scalar facts a downstream vision/feature stage
-    partitions on (dims, ink mass, word count)."""
+    rows are skipped (they have no page to render). A page the guard
+    refuses (untrusted page dims x dpi over MAX_PIXELS) is FLAGGED,
+    not fatal: it comes out as rendered=false with a null png, the
+    same honest-degrade stance as the multimodal codecs — one
+    corrupt envelope must never abort a corpus-scale job. Output
+    carries the PNG bytes plus the scalar facts a downstream
+    vision/feature stage partitions on (dims, ink mass, word count)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {
                 "conv_id": [], "turn_idx": [], "dpi": [], "width": [],
-                "height": [], "n_words": [], "ink_pixels": [], "png": [],
+                "height": [], "n_words": [], "ink_pixels": [],
+                "rendered": [], "png": [],
             }
             for conv_id, turn_idx, text in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"]
@@ -100,15 +105,21 @@ def render_pages(turns: DataFrame, dpi: int = 300) -> DataFrame:
                 if full is None:
                     continue
                 words, pw, ph = full
-                img = rasterize_words(words, pw, ph, dpi)
+                try:
+                    img = rasterize_words(words, pw, ph, dpi)
+                except ValueError:
+                    img = None
                 out["conv_id"].append(conv_id)
                 out["turn_idx"].append(int(turn_idx))
                 out["dpi"].append(int(dpi))
-                out["width"].append(img.shape[1])
-                out["height"].append(img.shape[0])
+                out["width"].append(0 if img is None else img.shape[1])
+                out["height"].append(0 if img is None else img.shape[0])
                 out["n_words"].append(len(words))
-                out["ink_pixels"].append(int((img == 0).sum()))
-                out["png"].append(encode_png(img))
+                out["ink_pixels"].append(
+                    0 if img is None else int((img == 0).sum())
+                )
+                out["rendered"].append(img is not None)
+                out["png"].append(None if img is None else encode_png(img))
             yield pd.DataFrame(out)
 
     return turns.select("conv_id", "turn_idx", "text").mapInPandas(

@@ -694,7 +694,10 @@ def _golden_oracle_sql() -> dict[str, str]:
               SELECT t.doc_id,
                      coalesce(l.logp,
                        ln(((SELECT n FROM tot) - (SELECT s FROM iv) + 1.0)
-                          / ((SELECT n FROM tot) + 21.0))) AS lp
+                          / ((SELECT n FROM tot) + 21.0))
+                       - ln(greatest(
+                           (SELECT COUNT(*) FROM counts)
+                           - (SELECT COUNT(*) FROM vocab), 1))) AS lp
               FROM toks t LEFT JOIN lmt l ON t.tok = l.tok
             )
             SELECT doc_id, COUNT(*) AS n_tokens,
@@ -726,7 +729,10 @@ def _golden_oracle_sql() -> dict[str, str]:
               SELECT t.doc_id,
                      coalesce(l.logp,
                        ln(((SELECT n FROM tot) - (SELECT s FROM iv) + 1.0)
-                          / ((SELECT n FROM tot) + 21.0))) AS lp
+                          / ((SELECT n FROM tot) + 21.0))
+                       - ln(greatest(
+                           (SELECT COUNT(*) FROM counts)
+                           - (SELECT COUNT(*) FROM vocab), 1))) AS lp
               FROM toks t LEFT JOIN lmt l ON t.tok = l.tok
             ), ppl AS (
               SELECT doc_id, COUNT(*) AS n_tokens,

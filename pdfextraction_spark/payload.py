@@ -78,13 +78,20 @@ def decode_pdf_envelope_full(
     text: str,
 ) -> Optional[Tuple[List[Tuple[str, float, float, float, float]], float, float]]:
     """Like decode_pdf_envelope but also returns the page dimensions
-    (defaulting to the reference sample's 612x792 when absent) — the
-    render path (S4) needs the page canvas, not just the words."""
-    words = decode_pdf_envelope(text)
-    if words is None:
-        return None
+    (defaulting to the reference sample's 612x792 when absent or
+    malformed) — the render path (S4) needs the page canvas, not just
+    the words. ONE json parse per envelope (this sits in the render
+    hot loop)."""
     try:
         obj = json.loads(text)
+        words = [
+            (str(w["t"]), float(w["x0"]), float(w["y0"]),
+             float(w["x1"]), float(w["y1"]))
+            for w in obj["words"]
+        ]
+    except Exception:
+        return None
+    try:
         pw = float(obj.get("page_width", 612.0))
         ph = float(obj.get("page_height", 792.0))
     except Exception:

@@ -326,8 +326,9 @@ def q_render_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaling law, PNG round-trip through the real codec)."""
     from pdfextraction_spark.functions.render import render_pages
 
-    rendered = render_pages(_fixture_turns(spark, sf_dir), dpi=36)
-    return rendered.select(
+    pages = render_pages(_fixture_turns(spark, sf_dir), dpi=36)
+    return pages.select(
         "conv_id", "turn_idx", "dpi", "width", "height", "n_words",
-        "ink_pixels", F.length("png").alias("png_bytes"),
+        "ink_pixels", "rendered",
+        F.coalesce(F.length("png"), F.lit(0)).alias("png_bytes"),
     )

@@ -52,14 +52,28 @@ from ..functions.similarity import (
 
 def _write_meta(spark: SparkSession, path: str, m: int, k: int,
                 dim: int, n_centroids: int, n_vectors: int,
-                quant_mse: float) -> None:
-    """Single home for the meta row (build + append both write it)."""
+                quant_mse: float, ver: int = 0,
+                mode: str = "overwrite") -> None:
+    """Single home for the meta row. Build overwrites ver=0; APPEND
+    adds a ver=N+1 row with mode('append') — a concurrent reader sees
+    either the old file set or old+new (each a complete row), never a
+    torn/deleted meta, and the loader takes the max-ver row. (An
+    in-place overwrite here would delete-then-write under a live
+    reader — the race this versioning removes.)"""
     spark.createDataFrame(
-        [(m, k, dim, n_centroids, n_vectors, float(quant_mse))],
-        "m int, k int, dim int, n_centroids int, n_vectors long, "
-        "quant_mse double",
-    ).coalesce(1).write.mode("overwrite").parquet(
+        [(ver, m, k, dim, n_centroids, n_vectors, float(quant_mse))],
+        "ver int, m int, k int, dim int, n_centroids int, "
+        "n_vectors long, quant_mse double",
+    ).coalesce(1).write.mode(mode).parquet(
         os.path.join(path, "meta.parquet"))
+
+
+def _read_meta(spark: SparkSession, path: str):
+    """Latest meta row (max ver; pre-versioning files count as 0)."""
+    df = spark.read.parquet(os.path.join(path, "meta.parquet"))
+    if "ver" not in df.columns:
+        return df.collect()[0]
+    return df.orderBy(F.col("ver").desc()).limit(1).collect()[0]
 
 
 @dataclass
@@ -160,8 +174,7 @@ def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
     rows = spark.read.parquet(
         os.path.join(path, "codebooks.parquet")
     ).orderBy("j", "code").collect()
-    meta = spark.read.parquet(
-        os.path.join(path, "meta.parquet")).collect()[0]
+    meta = _read_meta(spark, path)
     codebooks: List[List[List[float]]] = [[] for _ in range(meta.m)]
     for r in rows:
         if not 0 <= r.j < meta.m:
@@ -198,7 +211,17 @@ def append_to_ann_index(
     index without re-paying training or the full-corpus encode.
     (`mode("append")` + `partitionBy(list_id)` writes only the new
     files into each probed directory; existing files are untouched,
-    so a concurrent search never sees a torn list.)
+    so a concurrent search never sees a torn list. The meta row is
+    versioned-append for the same reason — see _write_meta.)
+
+    SINGLE APPENDER: concurrent appends to one index would both read
+    the same meta.n_vectors and lose an increment, so the whole append
+    holds the index writer lock (same mechanism as the extraction
+    job); a second concurrent append fails fast with WriterLockHeld.
+    Concurrent SEARCHES stay lock-free. If a crash lands between the
+    coded append and the meta append, meta.n_vectors goes stale-low —
+    it is advisory; the coded parquet is the row-count source of
+    truth.
 
     Caller contract: batch ids must be new (append does not dedup
     against the corpus — run `incremental_update`/`corpus_diff`
@@ -210,27 +233,31 @@ def append_to_ann_index(
     ratio — a batch whose ratio drifts well above 1 is no longer
     well-represented by the frozen quantizers (retrain signal).
     """
+    from .manifest import writer_lock
+
     spark = index.spark
-    meta = spark.read.parquet(
-        os.path.join(index.path, "meta.parquet")).collect()[0]
-    vec = _resolve_vectorized(
-        vectorized, max(len(index.centroids), meta.k)
-    )
-    assigned = _coarse_assigned(embeddings, index.centroids, vec,
-                                id_col, vec_col)
-    coded = pq_encode(assigned, index.codebooks, "vec_id", "v",
-                      vectorized=vec, keep=("list_id",))
-    coded.select("vec_id", "codes", "list_id").write.partitionBy(
-        "list_id"
-    ).mode("append").parquet(os.path.join(index.path, "coded"))
-    n_appended = embeddings.count()
-    batch_mse = pq_quantization_mse(embeddings, index.codebooks,
-                                    vec_col=vec_col)
-    build_mse = float(meta.asDict().get("quant_mse") or 0.0)
-    _write_meta(spark, index.path, m=meta.m, k=meta.k, dim=meta.dim,
-                n_centroids=meta.n_centroids,
-                n_vectors=meta.n_vectors + n_appended,
-                quant_mse=build_mse)
+    with writer_lock(index.path):
+        meta = _read_meta(spark, index.path)
+        vec = _resolve_vectorized(
+            vectorized, max(len(index.centroids), meta.k)
+        )
+        assigned = _coarse_assigned(embeddings, index.centroids, vec,
+                                    id_col, vec_col)
+        coded = pq_encode(assigned, index.codebooks, "vec_id", "v",
+                          vectorized=vec, keep=("list_id",))
+        coded.select("vec_id", "codes", "list_id").write.partitionBy(
+            "list_id"
+        ).mode("append").parquet(os.path.join(index.path, "coded"))
+        n_appended = embeddings.count()
+        batch_mse = pq_quantization_mse(embeddings, index.codebooks,
+                                        vec_col=vec_col)
+        build_mse = float(meta.asDict().get("quant_mse") or 0.0)
+        prev_ver = int(meta.asDict().get("ver") or 0)
+        _write_meta(spark, index.path, m=meta.m, k=meta.k,
+                    dim=meta.dim, n_centroids=meta.n_centroids,
+                    n_vectors=meta.n_vectors + n_appended,
+                    quant_mse=build_mse, ver=prev_ver + 1,
+                    mode="append")
     return {
         "n_appended": int(n_appended),
         "n_vectors": int(meta.n_vectors + n_appended),

@@ -180,5 +180,5 @@ def test_cli_render_end_to_end(xs_parquet, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     summary = json.loads(r.stdout.strip().splitlines()[-1])
-    assert summary["pages"] > 0 and summary["dpi"] == 18
+    assert summary["pages_total"] > 0 and summary["dpi"] == 18
     assert os.path.isdir(out)

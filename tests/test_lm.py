@@ -37,8 +37,8 @@ def test_train_hand_computed(tiny_docs):
     assert got["sat"] == pytest.approx(math.log(4 / denom))
     assert got["cat"] == pytest.approx(math.log(3 / denom))
     assert got["axolotl"] == pytest.approx(math.log(2 / denom))
-    # OOV mass: 15 - (4+3+2+1) = 5
-    assert oov_logp == pytest.approx(math.log(6 / denom))
+    # OOV mass 15 - (4+3+2+1) = 5, spread over 9 - 4 = 5 tail types
+    assert oov_logp == pytest.approx(math.log(6 / denom) - math.log(5))
 
 
 def test_score_hand_computed_and_oov(tiny_docs):
@@ -49,12 +49,13 @@ def test_score_hand_computed_and_oov(tiny_docs):
     }
     denom = 20.0
     # doc2 "the dog sat": logp(the) + oov(dog) + logp(sat)
-    lp = (math.log(5 / denom) + math.log(6 / denom) + math.log(4 / denom)) / 3
+    oov = math.log(6 / denom) - math.log(5)
+    lp = (math.log(5 / denom) + oov + math.log(4 / denom)) / 3
     assert out[2]["n_tokens"] == 3
     assert out[2]["ppl"] == pytest.approx(math.exp(-lp))
     # doc3 "zebra quokka axolotl": zebra/quokka OOV, axolotl IS in
     # vocab (the count-1 tie-break picked it)
-    lp3 = (2 * math.log(6 / denom) + math.log(2 / denom)) / 3
+    lp3 = (2 * oov + math.log(2 / denom)) / 3
     assert out[3]["ppl"] == pytest.approx(math.exp(-lp3))
     # doc4 normalizes to "the cat sat" (case/tab/run-collapse), so its
     # price is the in-vocab chain exactly
@@ -92,11 +93,11 @@ def test_zero_token_docs_dropped(spark):
 
 
 def test_quality_gate(tiny_docs):
-    """Gate keeps exactly the docs at-or-under the cut. (On this tiny
-    corpus the smoothed OOV bucket outweighs the rare in-vocab words,
-    so the all-OOV doc is the CHEAPEST — the production defense is a
-    large vocab_size, where OOV mass is a sliver; the gate mechanics
-    are what's under test here.)"""
+    """Gate keeps exactly the docs at-or-under the cut, and with the
+    OOV type-spread the mostly-gibberish zoo doc prices HIGHEST and
+    is gated out (without the spread, one OOV token cost the whole
+    tail mass and gibberish priced below prose — the inversion the
+    spread exists to prevent)."""
     lm, oov_logp, _ = train_unigram_lm(tiny_docs, vocab_size=4, alpha=1.0)
     scored = {
         r["doc_id"]: r["ppl"]
@@ -104,9 +105,10 @@ def test_quality_gate(tiny_docs):
     }
     order = sorted(scored, key=scored.get)
     cut = (scored[order[1]] + scored[order[2]]) / 2  # keep lowest 2
+    assert order[-1] == 3  # the zoo doc is the most surprising
     kept = lm_quality_gate(tiny_docs, lm, oov_logp, max_ppl=cut)
     ids = sorted(r["doc_id"] for r in kept.collect())
-    assert ids == sorted(order[:2])
+    assert ids == sorted(order[:2]) and 3 not in ids
     assert set(kept.columns) == {"doc_id", "text", "ppl"}
 
 
