@@ -457,6 +457,49 @@ def _golden_oracle_sql() -> dict[str, str]:
 
     fx = ensure_fixture_parquet("s")
 
+    def lm_ctes() -> str:
+        """Shared unigram-LM CTE chain (tokenize -> counts -> top-V
+        vocab -> logp table -> per-token scores -> per-doc ppl) — one
+        home for the lm_perplexity and ppl_buckets oracles so the
+        tokenization / tie-break / OOV-type-spread semantics can
+        never desynchronize. Mirrors functions/lm.py with
+        vocab_size=20, alpha=1 (denominator literal 21 = V+1)."""
+        return """toks0 AS (
+              SELECT doc_id,
+                unnest(regexp_split_to_array(
+                  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                  ' ')) AS tok
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, tok FROM toks0 WHERE tok <> ''
+            ), counts AS (
+              SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+            ), tot AS (
+              SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts
+            ), vocab AS (
+              SELECT tok, c FROM counts ORDER BY c DESC, tok ASC LIMIT 20
+            ), iv AS (
+              SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS s FROM vocab
+            ), lmt AS (
+              SELECT tok,
+                     ln((c + 1.0) / ((SELECT n FROM tot) + 21.0)) AS logp
+              FROM vocab
+            ), scored AS (
+              SELECT t.doc_id,
+                     coalesce(l.logp,
+                       ln(((SELECT n FROM tot) - (SELECT s FROM iv) + 1.0)
+                          / ((SELECT n FROM tot) + 21.0))
+                       - ln(greatest(
+                           (SELECT COUNT(*) FROM counts)
+                           - (SELECT COUNT(*) FROM vocab), 1))) AS lp
+              FROM toks t LEFT JOIN lmt l ON t.tok = l.tok
+            ), ppl AS (
+              SELECT doc_id, COUNT(*) AS n_tokens,
+                     EXP(-AVG(lp)) AS ppl
+              FROM scored GROUP BY doc_id
+            )"""
+
+
     def ctx_window_ctes(extra_cols: str = "") -> str:
         """Shared tk/c/j CTE chain of the budget-100 context-window
         derivation over golden turns (single home — the
@@ -669,76 +712,12 @@ def _golden_oracle_sql() -> dict[str, str]:
                    CAST(SUM(cost_nanos) AS BIGINT) AS cost_nanos
             FROM priced GROUP BY model
         """,
-        "lm_perplexity": """
-            WITH toks0 AS (
-              SELECT doc_id,
-                unnest(regexp_split_to_array(
-                  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
-                  ' ')) AS tok
-              FROM documents
-            ), toks AS (
-              SELECT doc_id, tok FROM toks0 WHERE tok <> ''
-            ), counts AS (
-              SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
-            ), tot AS (
-              SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts
-            ), vocab AS (
-              SELECT tok, c FROM counts ORDER BY c DESC, tok ASC LIMIT 20
-            ), iv AS (
-              SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS s FROM vocab
-            ), lmt AS (
-              SELECT tok,
-                     ln((c + 1.0) / ((SELECT n FROM tot) + 21.0)) AS logp
-              FROM vocab
-            ), scored AS (
-              SELECT t.doc_id,
-                     coalesce(l.logp,
-                       ln(((SELECT n FROM tot) - (SELECT s FROM iv) + 1.0)
-                          / ((SELECT n FROM tot) + 21.0))
-                       - ln(greatest(
-                           (SELECT COUNT(*) FROM counts)
-                           - (SELECT COUNT(*) FROM vocab), 1))) AS lp
-              FROM toks t LEFT JOIN lmt l ON t.tok = l.tok
-            )
-            SELECT doc_id, COUNT(*) AS n_tokens,
-                   ROUND(EXP(-AVG(lp)), 4) AS ppl
-            FROM scored GROUP BY doc_id
+        "lm_perplexity": f"""
+            WITH {lm_ctes()}
+            SELECT doc_id, n_tokens, ROUND(ppl, 4) AS ppl FROM ppl
         """,
-        "ppl_buckets": """
-            WITH toks0 AS (
-              SELECT doc_id,
-                unnest(regexp_split_to_array(
-                  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
-                  ' ')) AS tok
-              FROM documents
-            ), toks AS (
-              SELECT doc_id, tok FROM toks0 WHERE tok <> ''
-            ), counts AS (
-              SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
-            ), tot AS (
-              SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts
-            ), vocab AS (
-              SELECT tok, c FROM counts ORDER BY c DESC, tok ASC LIMIT 20
-            ), iv AS (
-              SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS s FROM vocab
-            ), lmt AS (
-              SELECT tok,
-                     ln((c + 1.0) / ((SELECT n FROM tot) + 21.0)) AS logp
-              FROM vocab
-            ), scored AS (
-              SELECT t.doc_id,
-                     coalesce(l.logp,
-                       ln(((SELECT n FROM tot) - (SELECT s FROM iv) + 1.0)
-                          / ((SELECT n FROM tot) + 21.0))
-                       - ln(greatest(
-                           (SELECT COUNT(*) FROM counts)
-                           - (SELECT COUNT(*) FROM vocab), 1))) AS lp
-              FROM toks t LEFT JOIN lmt l ON t.tok = l.tok
-            ), ppl AS (
-              SELECT doc_id, COUNT(*) AS n_tokens,
-                     EXP(-AVG(lp)) AS ppl
-              FROM scored GROUP BY doc_id
-            ), cuts AS (
+        "ppl_buckets": f"""
+            WITH {lm_ctes()}, cuts AS (
               SELECT quantile_cont(ppl, 1.0/3.0) AS lo,
                      quantile_cont(ppl, 2.0/3.0) AS hi
               FROM ppl
