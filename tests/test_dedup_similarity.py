@@ -1048,8 +1048,15 @@ class TestAnnIndexPersistence:
         # same clustered distribution -> the frozen quantizers still
         # represent the batch (no drift)
         assert 0.5 < stats["staleness_ratio"] < 2.0
-        meta = spark.read.parquet(p_inc + "/meta.parquet").collect()[0]
-        assert meta.n_vectors == 300
+        # meta is a versioned append-only log now: the loader's
+        # max-ver row carries the post-append count, and the build
+        # row (ver=0) must still be present underneath
+        from pdfextraction_spark.sources.ann_index import _read_meta
+
+        meta = _read_meta(spark, p_inc)
+        assert meta.n_vectors == 300 and meta.ver == 1
+        all_meta = spark.read.parquet(p_inc + "/meta.parquet").collect()
+        assert sorted(r.ver for r in all_meta) == [0, 1]
         p_full = str(tmp_path / "idx_rebuild")
         build_ann_index(
             emb, p_full, n_centroids=8, m=8, k=16, dim=32,
