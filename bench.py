@@ -81,6 +81,8 @@ HEADLINE = [
     "sft_samples",
     "semantic_dedup",
     "mixture_weights",
+    "lm_perplexity",
+    "ppl_buckets",
     "extract_tables",
     "classify_blocks",
     "merge_tables",
@@ -592,6 +594,7 @@ GROWTH_QUERIES = [
     "pack_chunks",
     "pq_adc_topk",
     "semantic_dedup",
+    "lm_perplexity",
 ]
 
 
