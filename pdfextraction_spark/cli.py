@@ -150,7 +150,7 @@ def _cmd_ann_build(args: argparse.Namespace) -> int:
     parquet table (vec_id, embedding) — the build-once half of the
     serve path; prints the index meta as JSON."""
     from .session import build_session
-    from .sources.ann_index import build_ann_index
+    from .sources.ann_index import _read_meta, build_ann_index
 
     spark = build_session("pdfx-ann-build", master=args.master)
     try:
@@ -160,8 +160,10 @@ def _cmd_ann_build(args: argparse.Namespace) -> int:
             k=args.k, dim=args.dim, lloyd_iters=args.lloyd_iters,
             pq_lloyd_iters=args.pq_lloyd_iters,
         )
-        meta = spark.read.parquet(
-            os.path.join(args.index, "meta.parquet")).collect()[0]
+        # meta is a versioned append-only log (ann-append adds rows);
+        # _read_meta takes the max-ver row — a raw collect()[0] would
+        # report an arbitrary row once the index has been appended to
+        meta = _read_meta(spark, args.index)
         print(json.dumps({"index": args.index,
                           "n_centroids": len(idx.centroids),
                           "m": meta.m, "k": meta.k,
@@ -255,7 +257,7 @@ def main(argv=None) -> int:
     c.add_argument("--input", required=True,
                    help="documents-shaped parquet (doc_id, text, lang)")
     c.add_argument("--output", required=True)
-    c.add_argument("--master", default="local[*]")
+    c.add_argument("--master", default=None)
     c.add_argument("--min-quality", type=float, default=0.5)
     c.add_argument("--max-top2-frac", type=float, default=0.2)
     c.add_argument("--per-lang", type=int, default=100000)
@@ -274,7 +276,7 @@ def main(argv=None) -> int:
     ab.add_argument("--input", required=True,
                     help="embeddings-shaped parquet (vec_id, embedding)")
     ab.add_argument("--index", required=True, help="index output dir")
-    ab.add_argument("--master", default="local[*]")
+    ab.add_argument("--master", default=None)
     ab.add_argument("--n-centroids", type=int, default=16)
     ab.add_argument("--m", type=int, default=8)
     ab.add_argument("--k", type=int, default=16)
@@ -291,7 +293,9 @@ def main(argv=None) -> int:
                      help="embeddings-shaped parquet of NEW vectors "
                           "(ids must not collide with the corpus — "
                           "dedup upstream)")
-    aap.add_argument("--master", default="local[*]")
+    # default None = session default, same as ann-build/extract — a
+    # differing default here could silently append on another master
+    aap.add_argument("--master", default=None)
     aap.set_defaults(fn=_cmd_ann_append)
 
     asx = sub.add_parser("ann-search",
@@ -300,7 +304,7 @@ def main(argv=None) -> int:
     asx.add_argument("--queries", required=True,
                      help="parquet of query vectors")
     asx.add_argument("--output", required=True)
-    asx.add_argument("--master", default="local[*]")
+    asx.add_argument("--master", default=None)
     asx.add_argument("--k", type=int, default=10)
     asx.add_argument("--n-probe", type=int, default=4)
     asx.add_argument("--query-id-col", default="vec_id")

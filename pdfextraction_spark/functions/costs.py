@@ -65,18 +65,31 @@ def estimate_costs(
     ``pricing.get(model, {'input': 0.01, 'output': 0.01})``.
     """
     spark = usage.sparkSession
-    dim = pricing_df(spark, pricing)
-    fb_in, fb_out = (_nanos_per_token(fallback[0]), _nanos_per_token(fallback[1]))
-    joined = usage.join(F.broadcast(dim), usage[model_col] == dim["model"], "left").drop(
-        dim["model"]
+    # namespace the dim columns with a reserved prefix BEFORE the join:
+    # a usage stream that already carries in_nanos/out_nanos (or a
+    # column literally named 'model' next to a non-default model_col)
+    # would otherwise hit ambiguous-column resolution or silently read
+    # the wrong side
+    dim = pricing_df(spark, pricing).select(
+        F.col("model").alias("__price_model"),
+        F.col("in_nanos").alias("__price_in_nanos"),
+        F.col("out_nanos").alias("__price_out_nanos"),
     )
+    fb_in, fb_out = (_nanos_per_token(fallback[0]), _nanos_per_token(fallback[1]))
+    joined = usage.join(
+        F.broadcast(dim),
+        F.col(model_col) == F.col("__price_model"),
+        "left",
+    ).drop("__price_model")
     nanos = F.col(in_col).cast("long") * F.coalesce(
-        F.col("in_nanos"), F.lit(fb_in)
-    ) + F.col(out_col).cast("long") * F.coalesce(F.col("out_nanos"), F.lit(fb_out))
+        F.col("__price_in_nanos"), F.lit(fb_in)
+    ) + F.col(out_col).cast("long") * F.coalesce(
+        F.col("__price_out_nanos"), F.lit(fb_out)
+    )
     return (
         joined.withColumn("cost_nanos", nanos)
         .withColumn("estimated_cost", F.round(F.col("cost_nanos") / F.lit(1e9), 6))
-        .drop("in_nanos", "out_nanos")
+        .drop("__price_in_nanos", "__price_out_nanos")
     )
 
 

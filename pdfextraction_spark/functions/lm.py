@@ -62,11 +62,12 @@ def train_unigram_lm(
     tokens (count desc, token asc tie-break — deterministic) and
     ``oov_logp`` prices every out-of-vocabulary token.
 
-    logp(t) = ln((c_t + alpha) / (N + alpha * (V + 1))); the OOV
-    symbol carries c = N - sum(top-V counts) spread over the tail
-    types: oov_logp = ln((c_oov + alpha) / denom) - ln(max(T, 1)),
-    T = distinct tokens - |vocab| (see module docstring for why the
-    spread is load-bearing)."""
+    logp(t) = ln((c_t + alpha) / (N + alpha * (V_real + 1))) with
+    V_real = |vocab| actually realized (= min(vocab_size, distinct
+    types)); the OOV symbol carries c = N - sum(top-V counts) spread
+    over the tail types: oov_logp = ln((c_oov + alpha) / denom) -
+    ln(max(T, 1)), T = distinct tokens - V_real (see module docstring
+    for why the spread is load-bearing)."""
     toks = docs.select(
         F.explode(_tokens(F.col(text_col))).alias("token")
     )
@@ -89,8 +90,14 @@ def train_unigram_lm(
         F.sum("c").alias("mass"), F.count(F.lit(1)).alias("types")
     ).collect()[0]
     in_vocab = vrow["mass"] or 0
-    tail_types = max(n_types - (vrow["types"] or 0), 1)
-    denom = n_total + alpha * (vocab_size + 1)
+    v_real = vrow["types"] or 0
+    tail_types = max(n_types - v_real, 1)
+    # REALIZED vocab size, not the requested one: on a corpus with
+    # fewer than vocab_size distinct tokens the requested-V denominator
+    # would mis-normalize the distribution (and price OOV with zero
+    # actual tail mass); the oracle computes the same COUNT(*) FROM
+    # vocab, so the two engines can never disagree here
+    denom = n_total + alpha * (v_real + 1)
     lm = vocab.select(
         "token",
         F.log((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp"),
@@ -132,16 +139,20 @@ def perplexity_score(
             F.exp(-F.avg("__lp")).alias("ppl"),
         )
 
-    # bounded collect (V+1 rows) — the model is the broadcast artifact,
-    # exactly like the PQ codebook closures
+    # bounded collect (V+1 rows), shipped as a REAL Spark broadcast —
+    # a plain closure capture would re-pickle the dict into every task
+    # (fine at V=20, ~MBs per task at a production V=100k); broadcast
+    # sends it once per executor and the UDF dereferences .value
     model = {r["token"]: r["logp"] for r in lm.collect()}
+    bc_model = docs.sparkSession.sparkContext.broadcast(model)
 
     @pandas_udf("double")
     def _ppl(tok_lists: pd.Series) -> pd.Series:
+        mdl = bc_model.value
         out = np.empty(len(tok_lists), dtype=np.float64)
         for i, toks_ in enumerate(tok_lists):
             lps = np.fromiter(
-                (model.get(t, oov_logp) for t in toks_),
+                (mdl.get(t, oov_logp) for t in toks_),
                 dtype=np.float64, count=len(toks_),
             )
             out[i] = math.exp(-lps.mean())

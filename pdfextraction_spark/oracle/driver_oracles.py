@@ -463,7 +463,8 @@ def _golden_oracle_sql() -> dict[str, str]:
         home for the lm_perplexity and ppl_buckets oracles so the
         tokenization / tie-break / OOV-type-spread semantics can
         never desynchronize. Mirrors functions/lm.py with
-        vocab_size=20, alpha=1 (denominator literal 21 = V+1)."""
+        vocab_size=20, alpha=1 (denominator uses the REALIZED
+        vocab count + 1, mirroring functions/lm.py)."""
         return """toks0 AS (
               SELECT doc_id,
                 unnest(regexp_split_to_array(
@@ -482,13 +483,15 @@ def _golden_oracle_sql() -> dict[str, str]:
               SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS s FROM vocab
             ), lmt AS (
               SELECT tok,
-                     ln((c + 1.0) / ((SELECT n FROM tot) + 21.0)) AS logp
+                     ln((c + 1.0) / ((SELECT n FROM tot)
+                        + (SELECT COUNT(*) FROM vocab) + 1.0)) AS logp
               FROM vocab
             ), scored AS (
               SELECT t.doc_id,
                      coalesce(l.logp,
                        ln(((SELECT n FROM tot) - (SELECT s FROM iv) + 1.0)
-                          / ((SELECT n FROM tot) + 21.0))
+                          / ((SELECT n FROM tot)
+                             + (SELECT COUNT(*) FROM vocab) + 1.0))
                        - ln(greatest(
                            (SELECT COUNT(*) FROM counts)
                            - (SELECT COUNT(*) FROM vocab), 1))) AS lp

@@ -20,6 +20,7 @@ import uuid
 from datetime import datetime
 from typing import List, Optional
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from . import __version__
@@ -71,7 +72,12 @@ def run_extraction_job(
     lineage the reference encodes in its debug filenames. Failures
     only: at corpus scale dumping every success is a second copy of
     the corpus; the reference's all-calls dump is a single-process
-    debugging aid, and failures are the rows a debugger needs.
+    debugging aid, and failures are the rows a debugger needs. The
+    dump runs after the manifest commit, so a crash in that window is
+    healed at the next start: committed chunks with parse_failures > 0
+    but no debug rows are backfilled (summary key
+    ``debug_commits_backfilled``) — the debug dir is therefore
+    complete relative to the manifest once a job finishes cleanly.
 
     SINGLE WRITER ONLY: at most one job at a time per
     (output_path, manifest_path) — orphan-commit reconciliation at job
@@ -93,6 +99,85 @@ def run_extraction_job(
             num_partitions, salt_turns, n_chunks, fail_after_chunks,
             fail_before_manifest_chunk, debug_dir,
         )
+
+
+def _dump_debug_rows(
+    spark: SparkSession,
+    output_path: str,
+    turns: DataFrame,
+    debug_dir: str,
+    commit_id: str,
+    now: datetime,
+) -> None:
+    """S9 debug-response sink for ONE committed chunk: parse-failed
+    rows, raw payload joined back from the input scan (the extractor
+    output drops the raw text by design). Failures are rare, so the
+    filtered side is small; the equi-join is partition-local after the
+    commit_id partition prune."""
+    failed = (
+        spark.read.parquet(output_path)
+        .filter((F.col("commit_id") == commit_id) & F.col("parse_failed"))
+        .select(
+            "conv_id", "turn_idx", "payload_kind", "extracted_text",
+            "run_id", "commit_id", "extractor_version",
+        )
+    )
+    raw = turns.select(
+        "conv_id", "turn_idx", F.col("text").alias("raw_payload")
+    )
+    (
+        failed.join(raw, ["conv_id", "turn_idx"], "left")
+        .withColumn("dumped_at", F.lit(now))
+        .write.mode("append")
+        .partitionBy("commit_id")
+        .parquet(debug_dir)
+    )
+
+
+def _reconcile_debug_dir(
+    spark: SparkSession,
+    output_path: str,
+    manifest_path: str,
+    debug_dir: str,
+    turns: DataFrame,
+    snapshot: str,
+) -> List[str]:
+    """Backfill debug dumps a prior crash skipped. The in-loop dump
+    runs AFTER append_manifest, so a crash inside that window leaves a
+    committed chunk (the resume skips it) whose parse-failure rows
+    never reached the debug dir — absence of debug rows would silently
+    read as absence of failures. At job start, diff the manifest's
+    commit_ids with parse_failures > 0 (current snapshot) against the
+    debug dir's commit_id partitions and dump the missing ones.
+    Bounded: both sides are distinct commit_id lists, not row scans."""
+    try:
+        need = {
+            r["commit_id"]
+            for r in spark.read.parquet(manifest_path)
+            .filter(
+                (F.col("source_snapshot_id") == snapshot)
+                & (F.col("parse_failures") > 0)
+            )
+            .select("commit_id").distinct().collect()
+        }
+    except AnalysisException:
+        return []
+    if not need:
+        return []
+    try:
+        have = {
+            r["commit_id"]
+            for r in spark.read.parquet(debug_dir)
+            .select("commit_id").distinct().collect()
+        }
+    except AnalysisException:
+        have = set()
+    missing = sorted(need - have)
+    now = datetime.now()
+    for commit_id in missing:
+        _dump_debug_rows(spark, output_path, turns, debug_dir,
+                         commit_id, now)
+    return missing
 
 
 def _run_locked(
@@ -117,6 +202,14 @@ def _run_locked(
     # rows under a commit_id the manifest never saw: drop them before
     # computing todo, or the re-extraction would duplicate them
     orphans = reconcile_orphan_commits(spark, output_path, manifest_path)
+    # symmetric reconcile for the debug sink: the in-loop dump runs
+    # after the manifest commit, so a crash in between leaves a chunk
+    # the resume skips but whose failures were never dumped
+    debug_backfilled: List[str] = []
+    if debug_dir is not None:
+        debug_backfilled = _reconcile_debug_dir(
+            spark, output_path, manifest_path, debug_dir, turns, snapshot
+        )
     done = committed_partitions(spark, manifest_path, snapshot)
     all_parts = list(range(num_partitions))
     todo = [p for p in all_parts if p not in done]
@@ -193,29 +286,8 @@ def _run_locked(
         ]
         append_manifest(spark, manifest_path, rows)
         if debug_dir is not None:
-            # S9 debug-response sink: parse-failed rows of THIS committed
-            # chunk, raw payload joined back from the input scan (the
-            # extractor output drops the raw text by design). Failures
-            # are rare, so the filtered side is small; the equi-join is
-            # partition-local after the commit_id partition prune.
-            failed = (
-                spark.read.parquet(output_path)
-                .filter((F.col("commit_id") == commit_id) & F.col("parse_failed"))
-                .select(
-                    "conv_id", "turn_idx", "payload_kind", "extracted_text",
-                    "run_id", "commit_id", "extractor_version",
-                )
-            )
-            raw = turns.select(
-                "conv_id", "turn_idx", F.col("text").alias("raw_payload")
-            )
-            (
-                failed.join(raw, ["conv_id", "turn_idx"], "left")
-                .withColumn("dumped_at", F.lit(now))
-                .write.mode("append")
-                .partitionBy("commit_id")
-                .parquet(debug_dir)
-            )
+            _dump_debug_rows(spark, output_path, turns, debug_dir,
+                             commit_id, now)
         total_rows += sum(r["row_count"] for r in rows)
         for k, v in (obs.get or {}).items():
             if v is not None:
@@ -227,6 +299,7 @@ def _run_locked(
         "run_id": run_id,
         "source_snapshot_id": snapshot,
         "orphan_commits_reconciled": orphans,
+        "debug_commits_backfilled": debug_backfilled,
         "partitions_done_before": len(done),
         "partitions_processed": len(todo),
         "rows_written": total_rows,

@@ -189,6 +189,48 @@ def test_debug_response_sink(spark, tmp_path):
     assert a == b
 
 
+@pytest.mark.slow
+def test_debug_sink_backfill_on_resume(spark, tmp_path):
+    """The dump runs after append_manifest, so a crash in that window
+    leaves committed chunks whose failures never reached the debug
+    dir. Simulate the worst case (a whole prior run with no debug
+    sink), then start again WITH it: the reconcile must backfill every
+    committed chunk with parse_failures > 0, making the debug dir
+    complete relative to the manifest."""
+    from fixtures.generate import write_transcripts_parquet
+    from pdfextraction_spark.pipeline import run_extraction_job
+
+    p = str(tmp_path / "in.parquet")
+    write_transcripts_parquet(p, "s", total_turns=1500)
+    out, mf, dbg = (
+        str(tmp_path / "out"), str(tmp_path / "mf"), str(tmp_path / "dbg")
+    )
+    s1 = run_extraction_job(
+        spark, p, out, mf, run_id="r1", num_partitions=4, n_chunks=2
+    )
+    assert s1["partitions_processed"] == 4
+    s2 = run_extraction_job(
+        spark, p, out, mf, run_id="r2", num_partitions=4, n_chunks=2,
+        debug_dir=dbg,
+    )
+    # nothing left to extract — the whole debug dir is backfill
+    assert s2["partitions_processed"] == 0
+    assert len(s2["debug_commits_backfilled"]) > 0
+    failed = spark.read.parquet(out).filter("parse_failed")
+    dump = spark.read.parquet(dbg)
+    assert dump.count() == failed.count() > 0
+    a = set(map(tuple, dump.select("conv_id", "turn_idx").toPandas().values))
+    b = set(map(tuple, failed.select("conv_id", "turn_idx").toPandas().values))
+    assert a == b
+    # idempotent: a third start backfills nothing
+    s3 = run_extraction_job(
+        spark, p, out, mf, run_id="r3", num_partitions=4, n_chunks=2,
+        debug_dir=dbg,
+    )
+    assert s3["debug_commits_backfilled"] == []
+    assert spark.read.parquet(dbg).count() == failed.count()
+
+
 # ------------------------------------------------- property tests
 
 def test_render_decomposition_property():
