@@ -120,7 +120,7 @@ def context_windows(
     conv_col: str = "conv_id",
     idx_col: str = "turn_idx",
     text_col: str = "text",
-    vectorized: bool = False,
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """Per-turn training-context assembly over a conversation: for
     every turn i the context is the maximal contiguous run of turns
@@ -134,20 +134,27 @@ def context_windows(
     turn_idx, n_tokens, ctx_start_idx (turn_idx of the first context
     turn), ctx_n_turns, ctx_tokens, truncated.
 
-    Shape: ONE shuffle (groupBy conv) builds the per-conversation
-    (turn_idx, tok) array; the cumulative-sum array is staged as a
-    real projection column (the staging rule — HOFs are interpreted,
-    a non-attribute input nested under them re-evaluates per element),
-    then each exploded turn finds its window start by counting prefix
-    sums below cum_i - budget. That count is O(len) per turn —
-    O(len^2) per conversation — which is fine at real turn counts
-    (conversations are bounded; the 1000-turn planted mega-conv costs
-    ~10^6 interpreted ops); ``vectorized=True`` switches to one
-    applyInPandas np.searchsorted pass per conversation, O(len log
-    len), equality-pinned against this path in tests. Window start is
-    monotone in i, so the closed form needs no iteration: j = #{prefix
-    sums < cum_i - budget} + 1, clamped to i when the turn alone
-    overflows.
+    The vectorized/expression dial (_resolve_vectorized family):
+    ``vectorized=None`` (the default) resolves to the VECTORIZED
+    mapInPandas path — one segmented numpy searchsorted pass per Arrow
+    batch, O(len log len) per conversation. Unlike the IVF dial there
+    is no cheap static signal to key on (the quadratic term depends on
+    per-conversation turn counts, which are data), and the numpy path
+    wins at every measured scale (bench fixture: ~2 s vs ~4.4 s) while
+    being exact, so the auto-dial is unconditional.
+    ``vectorized=False`` keeps the pure-expression form — ONE shuffle
+    (groupBy conv) builds the per-conversation (turn_idx, tok) array;
+    the cumulative-sum array is staged as a real projection column
+    (the staging rule — HOFs are interpreted, a non-attribute input
+    nested under them re-evaluates per element), then each exploded
+    turn finds its window start by counting prefix sums below
+    cum_i - budget. That count is O(len) per turn — O(len^2) per
+    conversation: fine at bounded turn counts, a scale-killer on
+    mega-conversations, which is why it is no longer the default. It
+    remains the SQL-mirrorable reference form, equality-pinned against
+    the vectorized path in tests. Window start is monotone in i, so
+    the closed form needs no iteration: j = #{prefix sums <
+    cum_i - budget} + 1, clamped to i when the turn alone overflows.
     """
     # shared token convention (ONE home: text.ws_token_count); NULL
     # text counts as 0 tokens (like empty) — without the coalesce a
@@ -164,7 +171,7 @@ def context_windows(
         F.col(idx_col).alias("turn_idx"),
         tok.alias("tok"),
     )
-    if vectorized:
+    if vectorized is None or vectorized:
         return _np_context_windows(base, budget)
     g = base.groupBy("conv_id").agg(
         F.sort_array(F.collect_list(F.struct("turn_idx", "tok"))).alias("ts")

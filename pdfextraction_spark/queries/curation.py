@@ -225,7 +225,10 @@ def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's q99 turn length, so both multi-turn contexts and the
     single-turn truncation clamp are exercised. Composes the
     extraction pipeline with the window op, so the oracle (golden
-    turns parquet + window SQL) checks both."""
+    turns parquet + window SQL) checks both. Runs the default
+    (vectorized) path — the driver value-check therefore gates the
+    production plan, with the expression form held equal by the
+    pytest parity pins."""
     from pdfextraction_spark.functions.chunking import context_windows
     from pdfextraction_spark.pipeline import extract_dataframe
 

@@ -234,7 +234,7 @@ class TestRound4Plans:
             [("a", 0, "x y"), ("a", 1, "z"), ("b", 0, "w")],
             "conv_id string, turn_idx int, text string",
         )
-        plan = _plan(context_windows(turns, budget=4))
+        plan = _plan(context_windows(turns, budget=4, vectorized=False))
         assert plan.count("Exchange") <= 1
 
     def test_semantic_dedup_join_keyed_on_list(self, spark):

@@ -706,7 +706,8 @@ class TestContextWindows:
         from pdfextraction_spark.functions.chunking import context_windows
 
         out = (
-            context_windows(self._turns(spark), budget=10)
+            context_windows(self._turns(spark), budget=10,
+                            vectorized=False)
             .toPandas().set_index(["conv_id", "turn_idx"]).sort_index()
         )
         # A0: just itself (3); A1: 3+4=7 fits; A2: 4+5=9 fits, +3=12
@@ -736,7 +737,7 @@ class TestContextWindows:
 
         t = self._turns(spark)
         key = ["conv_id", "turn_idx"]
-        a = context_windows(t, budget=10).toPandas() \
+        a = context_windows(t, budget=10, vectorized=False).toPandas() \
             .sort_values(key).reset_index(drop=True)
         b = context_windows(t, budget=10, vectorized=True).toPandas() \
             .sort_values(key).reset_index(drop=True)
@@ -759,7 +760,7 @@ class TestContextWindows:
         t = spark.createDataFrame(
             rows, "conv_id string, turn_idx int, text string")
         key = ["conv_id", "turn_idx"]
-        a = context_windows(t, budget=25).toPandas() \
+        a = context_windows(t, budget=25, vectorized=False).toPandas() \
             .sort_values(key).reset_index(drop=True)
         b = context_windows(t, budget=25, vectorized=True).toPandas() \
             .sort_values(key).reset_index(drop=True)
@@ -824,7 +825,7 @@ class TestReviewFixesR4:
         rows = [("A", 0, "a b c"), ("A", 1, None), ("A", 2, "d e")]
         t = spark.createDataFrame(
             rows, "conv_id string, turn_idx int, text string")
-        out = context_windows(t, budget=10).toPandas() \
+        out = context_windows(t, budget=10, vectorized=False).toPandas() \
             .set_index("turn_idx").sort_index()
         # NULL turn counts 0 tokens; the running sum must NOT restart
         assert out.loc[1, "n_tokens"] == 0
@@ -845,7 +846,7 @@ class TestReviewFixesR4:
                 (7, 5, "x y z w")]
         t = spark.createDataFrame(
             rows, "conv_id long, turn_idx long, text string")
-        a = context_windows(t, budget=4).toPandas() \
+        a = context_windows(t, budget=4, vectorized=False).toPandas() \
             .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
         b = context_windows(t, budget=4, vectorized=True).toPandas() \
             .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
