@@ -30,7 +30,7 @@ import pandas as pd
 
 from fixtures.generate import FIXTURE_VERSION, gen_transcripts, golden_frame
 
-GOLDEN_VERSION = 9  # v9: + real-GIF video_frames golden (r3 item 9)
+GOLDEN_VERSION = 10  # v10: + render facts golden (sweep-union ink)
 
 SPAN_SEP = "|"
 US = "\x1f"
@@ -385,6 +385,73 @@ def _corrections_golden(turns_golden: pd.DataFrame,
     return out
 
 
+def _render_golden(df: pd.DataFrame, dpi: int = 36) -> pd.DataFrame:
+    """S4 render facts via an INDEPENDENT rasterization algorithm:
+    ink_pixels is the exact pixel area of the clamped-box UNION by
+    coordinate-compression sweep (unique box edges form a grid; a grid
+    cell is inked iff covered by >= 1 box) — never the engine's
+    per-box canvas fill. Width/height follow the dpi/72 ceil rule and
+    the clamping semantics mirror functions/render.rasterize_words
+    (that is the CONTRACT under test, not shared code). The PNG
+    container length reuses the codec (functions/png.py) on a canvas
+    painted from the coverage grid; the codec itself is value-gated by
+    the pytest round-trip pins."""
+    import math
+
+    from pdfextraction_spark.functions.png import encode_png
+    from pdfextraction_spark.functions.render import MAX_PIXELS
+    from pdfextraction_spark.payload import decode_pdf_envelope_full
+
+    s = dpi / 72.0
+    rows = []
+    for conv_id, turn_idx, text in zip(
+        df["conv_id"], df["turn_idx"], df["text"]
+    ):
+        full = decode_pdf_envelope_full(text) if text else None
+        if full is None:
+            continue
+        words, pw, ph = full
+        w = max(1, int(math.ceil(pw * s)))
+        h = max(1, int(math.ceil(ph * s)))
+        if w * h > MAX_PIXELS:
+            rows.append((str(conv_id), int(turn_idx), dpi, 0, 0,
+                         len(words), 0, False, 0))
+            continue
+        rects = []
+        for _t, x0, y0, x1, y1 in words:
+            xa = min(max(int(math.floor(x0 * s)), 0), w - 1)
+            ya = min(max(int(math.floor(y0 * s)), 0), h - 1)
+            xb = min(max(int(math.ceil(x1 * s)), xa + 1), w)
+            yb = min(max(int(math.ceil(y1 * s)), ya + 1), h)
+            rects.append((xa, ya, xb, yb))
+        canvas = np.full((h, w), 255, dtype=np.uint8)
+        ink = 0
+        if rects:
+            xs = np.array(sorted({v for r in rects for v in (r[0], r[2])}))
+            ys = np.array(sorted({v for r in rects for v in (r[1], r[3])}))
+            cover = np.zeros((len(ys) - 1, len(xs) - 1), dtype=bool)
+            for xa, ya, xb, yb in rects:
+                i0, i1 = np.searchsorted(xs, xa), np.searchsorted(xs, xb)
+                j0, j1 = np.searchsorted(ys, ya), np.searchsorted(ys, yb)
+                cover[j0:j1, i0:i1] = True
+            cell_area = np.diff(ys)[:, None] * np.diff(xs)[None, :]
+            ink = int(cell_area[cover].sum())
+            for j, i in zip(*np.nonzero(cover)):
+                canvas[ys[j]:ys[j + 1], xs[i]:xs[i + 1]] = 0
+        rows.append((str(conv_id), int(turn_idx), dpi, w, h,
+                     len(words), ink, True, len(encode_png(canvas))))
+    out = pd.DataFrame(
+        rows,
+        columns=["conv_id", "turn_idx", "dpi", "width", "height",
+                 "n_words", "ink_pixels", "rendered", "png_bytes"],
+    )
+    for c in ("turn_idx", "dpi", "width", "height", "n_words",
+              "ink_pixels", "png_bytes"):
+        out[c] = out[c].astype(np.int64)
+    out["rendered"] = out["rendered"].astype(bool)
+    return out
+
+
 def _media_golden():
     """Golden multimodal features: decode every fixture blob with the
     codecs directly (no Spark, no operator code paths) and recompute
@@ -505,6 +572,9 @@ def ensure_golden(tier: str, cache_dir: str = "/tmp/pdfx_fixtures") -> str:
     )
     _schema_norm_golden().to_parquet(
         os.path.join(tmp, "schema_norm.parquet"), index=False
+    )
+    _render_golden(df).to_parquet(
+        os.path.join(tmp, "render.parquet"), index=False
     )
     img, aud, vid = _media_golden()
     img.to_parquet(os.path.join(tmp, "image_features.parquet"), index=False)

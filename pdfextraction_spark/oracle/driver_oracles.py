@@ -590,6 +590,11 @@ def _golden_oracle_sql() -> dict[str, str]:
             FROM read_parquet('{t("tables")}')
             GROUP BY conv_id, turn_idx, table_idx
         """,
+        "render_pages": f"""
+            SELECT conv_id, turn_idx, dpi, width, height, n_words,
+                   ink_pixels, rendered, png_bytes
+            FROM read_parquet('{t("render")}')
+        """,
         "spacing_stats": f"""
             SELECT conv_id, turn_idx,
                    round(avg_spacing, 4) AS avg_spacing,

@@ -320,15 +320,23 @@ def q_usage_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_render_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 page render (vision_extractor.py:22-61) — scalar facts of
     the rendered PNGs (dims at the dpi/72 scaling rule, ink mass,
-    word count). Rasterization is not SQL-expressible, so this is a
-    rows-only driver check; the value gate is the pytest suite
-    (tests/test_render.py: exact ink counts on crafted pages, dpi
-    scaling law, PNG round-trip through the real codec)."""
+    word count). Value-checked against the golden render facts
+    (fixtures/golden.py _render_golden): ink recomputed there by an
+    independent coordinate-compression box-union sweep, never the
+    engine's per-box canvas fill; pixel-level pins (exact ink on
+    crafted pages, dpi scaling law, PNG round-trip) live in
+    tests/test_render.py."""
     from pdfextraction_spark.functions.render import render_pages
 
     pages = render_pages(_fixture_turns(spark, sf_dir), dpi=36)
     return pages.select(
-        "conv_id", "turn_idx", "dpi", "width", "height", "n_words",
-        "ink_pixels", "rendered",
-        F.coalesce(F.length("png"), F.lit(0)).alias("png_bytes"),
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.col("dpi").cast("long").alias("dpi"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "ink_pixels",
+        "rendered",
+        F.coalesce(F.length("png"), F.lit(0)).cast("long").alias("png_bytes"),
     )

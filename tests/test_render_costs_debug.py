@@ -231,6 +231,45 @@ def test_debug_sink_backfill_on_resume(spark, tmp_path):
     assert spark.read.parquet(dbg).count() == failed.count()
 
 
+def test_golden_sweep_union_matches_engine_on_overlap():
+    """The golden render oracle computes ink by coordinate-compression
+    box-union sweep; the engine paints per-box. On OVERLAPPING boxes a
+    naive per-box area sum would over-count — the two algorithms must
+    still agree exactly (that disagreement is what the driver value
+    check exists to catch)."""
+    import pandas as pd
+
+    from fixtures.golden import _render_golden
+    from pdfextraction_spark.functions.render import rasterize_words
+    from pdfextraction_spark.payload import encode_pdf_envelope
+
+    # heavy overlap + containment + disjoint, sub-pixel edges
+    words = [
+        ("a", 10.0, 10.0, 40.0, 30.0),
+        ("b", 20.0, 15.0, 60.0, 25.0),   # overlaps a
+        ("c", 12.0, 12.0, 18.0, 18.0),   # contained in a
+        ("d", 100.3, 50.7, 120.9, 60.1),  # disjoint, fractional
+    ]
+    dpi = 36
+    env = encode_pdf_envelope(words, 200.0, 100.0)
+    df = pd.DataFrame(
+        {"conv_id": ["c0"], "turn_idx": [0], "text": [env]}
+    )
+    g = _render_golden(df, dpi=dpi).iloc[0]
+    img = rasterize_words(words, 200.0, 100.0, dpi=dpi)
+    assert int(g.ink_pixels) == int((img == 0).sum())
+    assert (g.width, g.height) == (img.shape[1], img.shape[0])
+    # overlap is real in this fixture: naive area-sum over-counts
+    s = dpi / 72.0
+    naive = 0
+    import math
+    for _t, x0, y0, x1, y1 in words:
+        xa, ya = int(math.floor(x0 * s)), int(math.floor(y0 * s))
+        xb, yb = int(math.ceil(x1 * s)), int(math.ceil(y1 * s))
+        naive += (xb - xa) * (yb - ya)
+    assert naive > int(g.ink_pixels)
+
+
 # ------------------------------------------------- property tests
 
 def test_render_decomposition_property():
