@@ -93,6 +93,7 @@ from pdfextraction_spark.queries import (  # noqa: F401
     q_simhash_sketch,
     q_spacing_stats,
     q_table_anomalies,
+    q_template_apply,
     q_text_guards,
     q_tfidf_topk,
     q_token_stats,
@@ -151,6 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_windows": q_context_windows,
         "sft_samples": q_sft_samples,
         "training_filter": q_training_filter,
+        # --- round-6 additions ---
+        "template_apply": q_template_apply,
         # --- round-5 additions ---
         "ann_ivfpq_indexed": q_ann_ivfpq_indexed,
         "sft_packed": q_sft_packed,

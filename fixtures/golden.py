@@ -30,7 +30,7 @@ import pandas as pd
 
 from fixtures.generate import FIXTURE_VERSION, gen_transcripts, golden_frame
 
-GOLDEN_VERSION = 10  # v10: + render facts golden (sweep-union ink)
+GOLDEN_VERSION = 11  # v11: + template propagation golden (r6 item 8)
 
 SPAN_SEP = "|"
 US = "\x1f"
@@ -385,6 +385,39 @@ def _corrections_golden(turns_golden: pd.DataFrame,
     return out
 
 
+def _template_golden(turns_golden: pd.DataFrame) -> pd.DataFrame:
+    """Multipage template propagation golden
+    (multipage_processor.py:72-159): the loop mirror derives the
+    validated-page template and applies it to every layout page; the
+    corrections dict is the same deterministic fixture
+    _corrections_golden uses."""
+    import re
+
+    from pdfextraction_spark.oracle.mergeops import template_apply_golden
+
+    corr = {}
+    for c in sorted(set(turns_golden["conv_id"])):
+        n = int(re.sub(r"\D", "", c))
+        if n % 5 == 0:
+            corr[(c, "Employee Name")] = f"Validated Name {n}"
+        if n % 10 == 0:
+            corr[(c, "Reviewer Note")] = f"reviewed-{n}"
+    rows = template_apply_golden(
+        zip(turns_golden["conv_id"], turns_golden["turn_idx"],
+            turns_golden["payload_kind"], turns_golden["extracted_text"]),
+        corr,
+    )
+    out = pd.DataFrame(
+        rows,
+        columns=["conv_id", "turn_idx", "field", "value", "source",
+                 "found", "created_from_turn", "template_version"],
+    )
+    out["turn_idx"] = out["turn_idx"].astype(np.int32)
+    out["created_from_turn"] = out["created_from_turn"].astype(np.int32)
+    out["found"] = out["found"].astype(bool)
+    return out
+
+
 def _render_golden(df: pd.DataFrame, dpi: int = 36) -> pd.DataFrame:
     """S4 render facts via an INDEPENDENT rasterization algorithm:
     ink_pixels is the exact pixel area of the clamped-box UNION by
@@ -575,6 +608,9 @@ def ensure_golden(tier: str, cache_dir: str = "/tmp/pdfx_fixtures") -> str:
     )
     _render_golden(df).to_parquet(
         os.path.join(tmp, "render.parquet"), index=False
+    )
+    _template_golden(turns).to_parquet(
+        os.path.join(tmp, "template_apply.parquet"), index=False
     )
     img, aud, vid = _media_golden()
     img.to_parquet(os.path.join(tmp, "image_features.parquet"), index=False)

@@ -87,6 +87,139 @@ def apply_corrections(merged: DataFrame,
     return overlaid.select(_OUT_COLS).unionByName(added.select(_OUT_COLS))
 
 
+def derive_templates(extracted: DataFrame,
+                     validated_pages: DataFrame,
+                     corrections: DataFrame | None = None) -> DataFrame:
+    """Template CREATION (reference multipage_processor.py:72-97
+    ``create_enhanced_template``): the extraction template for a
+    conversation is the field schema of its human-validated page
+    (base_structure = the validated turn's extracted field set) plus
+    any human-added correction fields (the feedback-derived
+    enhancements), stamped with the source page and a version.
+
+    Output: (conv_id, field, created_from_turn, template_version) —
+    one row per template field per conversation that has a validated
+    page. Scale: one (conv, turn)-selective join projects the pairs of
+    the validated turns only; corrections are human-sized and
+    broadcast."""
+    from .merge import parse_field_pairs
+
+    pairs = parse_field_pairs(extracted).filter(
+        F.col("value").isNotNull() & (F.trim("value") != "")
+    )
+    vp = validated_pages.select(
+        "conv_id", F.col("turn_idx").alias("__vturn")
+    )
+    base = (
+        pairs.join(F.broadcast(vp),
+                   (pairs["conv_id"] == vp["conv_id"])
+                   & (pairs["turn_idx"] == F.col("__vturn")))
+        .select(pairs["conv_id"], "field", "__vturn")
+        .distinct()
+    )
+    if corrections is not None:
+        added = (
+            corrections.select("conv_id", "field")
+            .join(F.broadcast(vp), "conv_id")
+            .select("conv_id", "field", "__vturn")
+            .distinct()
+        )
+        base = base.unionByName(added).distinct()
+    return base.select(
+        "conv_id", "field",
+        F.col("__vturn").alias("created_from_turn"),
+        F.lit("1.0").alias("template_version"),
+    )
+
+
+def template_apply(extracted: DataFrame,
+                   validated_pages: DataFrame,
+                   corrections: DataFrame | None = None) -> DataFrame:
+    """Template PROPAGATION (multipage_processor.py:99-159
+    ``process_all_pages`` / ``_process_single_page``): apply each
+    conversation's validated-page template to every sibling layout
+    page. Every page is re-read against the template's field schema —
+    one output row per (page, template field):
+
+    - the page's own extraction carries the value (longest-wins within
+      the page, earliest position wins ties — the result_merger tie
+      rule applied per page instead of per conversation),
+    - a field the page lacks comes out value=NULL, found=false (the
+      reference's enhanced extraction returns empty for absent
+      fields — pages are never backfilled from other pages),
+    - on the VALIDATION page itself a human correction overrides the
+      machine value (app.py:822 validated-JSON precedence), source =
+      'validated',
+    - lineage columns carry created_from_turn + template_version
+      (the reference's page_metadata stamp).
+
+    Scale: pairs and pages are (conv, turn)-keyed aggregations with
+    map-side combine; the template×pages grid is a conv-keyed shuffle
+    join (bounded fields per conversation); corrections broadcast.
+    No step is driver-side and nothing is quadratic in pages — the
+    grid is |pages| x |template fields|, the output's own size."""
+    from ..payload import KIND_PDF
+    from .merge import parse_field_pairs
+
+    tmpl = derive_templates(extracted, validated_pages, corrections)
+    pages = (
+        extracted.filter(F.col("payload_kind") == KIND_PDF)
+        .select("conv_id", "turn_idx")
+        .distinct()
+    )
+    pairs = parse_field_pairs(extracted).filter(
+        F.col("value").isNotNull() & (F.trim("value") != "")
+    )
+    pick = F.struct(
+        F.length("value").alias("l"),
+        (-F.col("pos")).alias("p"),
+    )
+    page_vals = pairs.groupBy("conv_id", "turn_idx", "field").agg(
+        F.max_by("value", pick).alias("__pval")
+    )
+    grid = pages.join(tmpl, "conv_id")
+    out = grid.join(page_vals, ["conv_id", "turn_idx", "field"], "left")
+    if corrections is not None:
+        c = (
+            corrections.select("conv_id", "field", "corrected_value")
+            .groupBy("conv_id", "field")
+            .agg(F.max("corrected_value").alias("__cval"))
+        )
+        out = out.join(F.broadcast(c), ["conv_id", "field"], "left")
+    else:
+        out = out.withColumn("__cval", F.lit(None).cast("string"))
+    on_vpage = F.col("turn_idx") == F.col("created_from_turn")
+    corrected = on_vpage & F.col("__cval").isNotNull()
+    value = F.when(corrected, F.col("__cval")).otherwise(F.col("__pval"))
+    source = (
+        F.when(corrected, F.lit(SOURCE_VALIDATED))
+        .when(F.col("__pval").isNotNull(), F.lit(SOURCE_MACHINE))
+        .otherwise(F.lit("missing"))
+    )
+    return out.select(
+        "conv_id", "turn_idx", "field",
+        value.alias("value"),
+        source.alias("source"),
+        value.isNotNull().alias("found"),
+        "created_from_turn", "template_version",
+    )
+
+
+def fixture_validated_pages(extracted: DataFrame) -> DataFrame:
+    """Deterministic validation-page fixture: the FIRST field-bearing
+    turn of each conversation plays the human-selected validation page
+    (the reference's user picks one page to validate; first-with-data
+    is the reproducible analogue). Output: (conv_id, turn_idx)."""
+    from .merge import parse_field_pairs
+
+    pairs = parse_field_pairs(extracted).filter(
+        F.col("value").isNotNull() & (F.trim("value") != "")
+    )
+    return pairs.groupBy("conv_id").agg(
+        F.min("turn_idx").alias("turn_idx")
+    )
+
+
 def fixture_corrections(turns: DataFrame) -> DataFrame:
     """Deterministic validated-overrides fixture derived from the
     conversation ids themselves (no external data, reproducible in the

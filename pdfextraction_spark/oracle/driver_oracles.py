@@ -590,6 +590,13 @@ def _golden_oracle_sql() -> dict[str, str]:
             FROM read_parquet('{t("tables")}')
             GROUP BY conv_id, turn_idx, table_idx
         """,
+        "template_apply": f"""
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   field, value, source, found,
+                   CAST(created_from_turn AS BIGINT) AS created_from_turn,
+                   template_version
+            FROM read_parquet('{t("template_apply")}')
+        """,
         "render_pages": f"""
             SELECT conv_id, turn_idx, dpi, width, height, n_words,
                    ink_pixels, rendered, png_bytes

@@ -117,6 +117,71 @@ def merge_conversation_tables_golden(
     return out
 
 
+def template_apply_golden(
+    turns: Iterable[Tuple[str, int, str, str]],
+    corrections: Dict[Tuple[str, str], str],
+) -> List[dict]:
+    """Loop mirror of operators/corrections.template_apply (reference
+    multipage_processor.py:72-159): template = validated page's field
+    set + human-added correction fields; applied to every pdf_layout
+    page of the conversation; per-page longest-wins values (strictly
+    greater replaces, earliest position wins ties); correction
+    overrides on the validation page only. ``turns`` rows are
+    (conv_id, turn_idx, payload_kind, extracted_text)."""
+    rows = sorted(turns, key=lambda r: (r[0], r[1]))
+    # per-page values + per-conv validated turn
+    page_vals: Dict[Tuple[str, int, str], str] = {}
+    vturn: Dict[str, int] = {}
+    pages: Dict[str, List[int]] = {}
+    for conv_id, turn_idx, kind, text in rows:
+        if kind == "pdf_layout":
+            pages.setdefault(conv_id, []).append(turn_idx)
+        for _pos, field, value in field_pairs(text):
+            if value is None or not value.strip(" "):
+                continue
+            if conv_id not in vturn:
+                vturn[conv_id] = turn_idx
+            key = (conv_id, turn_idx, field)
+            cur = page_vals.get(key)
+            if cur is None or len(value) > len(cur):
+                page_vals[key] = value
+    templates: Dict[str, List[str]] = {}
+    for (conv_id, turn_idx, field) in page_vals:
+        if vturn.get(conv_id) == turn_idx:
+            t = templates.setdefault(conv_id, [])
+            if field not in t:
+                t.append(field)
+    for (conv_id, field) in corrections:
+        if conv_id in vturn:
+            t = templates.setdefault(conv_id, [])
+            if field not in t:
+                t.append(field)
+    out: List[dict] = []
+    for conv_id, fields in templates.items():
+        for turn_idx in pages.get(conv_id, []):
+            for field in fields:
+                pval = page_vals.get((conv_id, turn_idx, field))
+                cval = corrections.get((conv_id, field))
+                on_vpage = turn_idx == vturn[conv_id]
+                if on_vpage and cval is not None:
+                    value, source = cval, "validated"
+                elif pval is not None:
+                    value, source = pval, "machine"
+                else:
+                    value, source = None, "missing"
+                out.append({
+                    "conv_id": conv_id,
+                    "turn_idx": turn_idx,
+                    "field": field,
+                    "value": value,
+                    "source": source,
+                    "found": value is not None,
+                    "created_from_turn": vturn[conv_id],
+                    "template_version": "1.0",
+                })
+    return out
+
+
 def normalize_form_fields_golden(payload_json: str) -> Dict[str, Optional[str]]:
     """Loop mirror of the reference's step-2 schema normalization
     (openai_service.py:688-718): three historical shapes -> one

@@ -180,6 +180,34 @@ def q_apply_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_corrections(merged, fixture_corrections(turns))
 
 
+def q_template_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multipage template propagation (multipage_processor.py:72-159):
+    derive each conversation's extraction template from its validated
+    page (first field-bearing turn, the deterministic stand-in for the
+    user's pick) plus the human-correction fields, then apply it to
+    every layout page — per-page values, missing fields surfaced as
+    found=false, correction override on the validation page, lineage
+    stamped with the source page + template version."""
+    from pdfextraction_spark.operators.corrections import (
+        fixture_corrections,
+        fixture_validated_pages,
+        template_apply,
+    )
+    from pdfextraction_spark.pipeline import extract_dataframe
+
+    turns = _fixture_turns(spark, sf_dir)
+    ex = extract_dataframe(turns, num_partitions=8)
+    return template_apply(
+        ex, fixture_validated_pages(ex), fixture_corrections(turns)
+    ).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "field", "value", "source", "found",
+        F.col("created_from_turn").cast("long").alias("created_from_turn"),
+        "template_version",
+    )
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal image path: real PNG decode -> pixel stats +
     average-hash over the deterministic media fixture; golden computed

@@ -177,3 +177,119 @@ def test_corrections_duplicate_keys_collapse(spark, merged):
     assert len(rows) == 1
     assert rows[0].value == "Zeta"
     assert rows[0].source == "validated"
+
+
+class TestTemplatePropagation:
+    """Multipage template propagation (multipage_processor.py:72-159):
+    template derived from the validated page, applied to sibling
+    pages, hand-computed expectations on a planted fixture."""
+
+    @pytest.fixture()
+    def pages(self, spark):
+        # c0: page 0 (validated, first field-bearing) has Name+Dept;
+        # page 2 has Name only + an off-template field Extra; page 4 is
+        # a layout page with NO fields at all. c1: single page.
+        rows = [
+            ("c0", 0, "pdf_layout", "Name:\tJane\nDept:\tR&D"),
+            ("c0", 2, "pdf_layout", "Name:\tJane Quincy    Extra:\tzz"),
+            ("c0", 4, "pdf_layout", "no fields here"),
+            ("c0", 5, "markdown", "Name:\tIGNORED non-layout"),
+            ("c1", 1, "pdf_layout", "Solo:\tv"),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, payload_kind string,"
+            " extracted_text string",
+        )
+
+    def test_hand_computed(self, spark, pages):
+        from pdfextraction_spark.operators.corrections import (
+            fixture_validated_pages,
+            template_apply,
+        )
+
+        corr = spark.createDataFrame(
+            [("c0", "Reviewer Note", "ok")],
+            "conv_id string, field string, corrected_value string",
+        )
+        out = {
+            (r.conv_id, r.turn_idx, r.field): r
+            for r in template_apply(
+                pages, fixture_validated_pages(pages), corr
+            ).collect()
+        }
+        # template for c0 = {Name, Dept} (validated page 0) + Reviewer
+        # Note (human-added); Extra is OFF-template -> never emitted
+        assert not any(k[2] == "Extra" for k in out)
+        # 3 layout pages x 3 template fields + 1 page x 1 field (c1)
+        assert len(out) == 10
+        v = out[("c0", 0, "Name")]
+        assert (v.value, v.source, v.found) == ("Jane", "machine", True)
+        # human-added field materializes ON the validation page only
+        rn0 = out[("c0", 0, "Reviewer Note")]
+        assert (rn0.value, rn0.source) == ("ok", "validated")
+        rn2 = out[("c0", 2, "Reviewer Note")]
+        assert (rn2.value, rn2.source, rn2.found) == (None, "missing", False)
+        # sibling page keeps ITS OWN extraction, never backfilled
+        n2 = out[("c0", 2, "Name")]
+        assert (n2.value, n2.source) == ("Jane Quincy", "machine")
+        d2 = out[("c0", 2, "Dept")]
+        assert (d2.value, d2.found) == (None, False)
+        # field-less layout page still emits the full template schema
+        assert out[("c0", 4, "Name")].found is False
+        # non-layout turn is not a page
+        assert not any(k[:2] == ("c0", 5) for k in out)
+        # lineage stamp
+        assert all(r.template_version == "1.0" for r in out.values())
+        assert all(
+            r.created_from_turn == 0 for k, r in out.items() if k[0] == "c0"
+        )
+        assert out[("c1", 1, "Solo")].created_from_turn == 1
+
+    def test_validation_page_correction_overrides(self, spark, pages):
+        from pdfextraction_spark.operators.corrections import (
+            fixture_validated_pages,
+            template_apply,
+        )
+
+        corr = spark.createDataFrame(
+            [("c0", "Name", "Validated Jane")],
+            "conv_id string, field string, corrected_value string",
+        )
+        out = {
+            (r.conv_id, r.turn_idx, r.field): r
+            for r in template_apply(
+                pages, fixture_validated_pages(pages), corr
+            ).collect()
+        }
+        # override on the validation page; machine value elsewhere
+        assert out[("c0", 0, "Name")].value == "Validated Jane"
+        assert out[("c0", 0, "Name")].source == "validated"
+        assert out[("c0", 2, "Name")].value == "Jane Quincy"
+        assert out[("c0", 2, "Name")].source == "machine"
+
+    def test_no_corrections_and_loop_oracle_parity(self, spark, pages):
+        from pdfextraction_spark.operators.corrections import (
+            fixture_validated_pages,
+            template_apply,
+        )
+        from pdfextraction_spark.oracle.mergeops import (
+            template_apply_golden,
+        )
+
+        got = sorted(
+            (r.conv_id, r.turn_idx, r.field, r.value, r.source,
+             r.found, r.created_from_turn, r.template_version)
+            for r in template_apply(
+                pages, fixture_validated_pages(pages)
+            ).collect()
+        )
+        rows = [(r.conv_id, r.turn_idx, r.payload_kind, r.extracted_text)
+                for r in pages.collect()]
+        want = sorted(
+            (d["conv_id"], d["turn_idx"], d["field"], d["value"],
+             d["source"], d["found"], d["created_from_turn"],
+             d["template_version"])
+            for d in template_apply_golden(rows, {})
+        )
+        assert got == want
