@@ -56,7 +56,11 @@ def ws_token_count(col: Column) -> Column:
 
 
 def bpe_token_count(col: Column) -> Column:
-    """Sub-word-ish token count via the BPE-style regex."""
+    """Sub-word-ish token count via the BPE-style regex — the cheap
+    codegen HEURISTIC. When budgets must be tokenizer-exact (chunk/
+    pack/context at production), use functions/tokenizer.py
+    ``bpe_vocab_counter`` — a real merges-file BPE behind a broadcast
+    + vectorized pandas_udf."""
     return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
 
 

@@ -1,0 +1,114 @@
+"""Pluggable vocab-file BPE token counting (VERDICT r5 item 5).
+
+``text.bpe_token_count`` is a regex HEURISTIC — fine for corpus
+statistics, but chunk/pack/context budgets at production are
+tokenizer-exact. This module adds the exact dial: a standard
+merges-file BPE (the published ``merges.txt`` convention — one
+``left right`` pair per line, rank = line order, optional ``#version``
+header), applied greedily lowest-rank-first over each whitespace word.
+Any published merges file (e.g. a GPT-2-style vocabulary) drops in
+unchanged; tests ship a tiny deterministic vocabulary.
+
+Scale shape (the lm.py precedent): the ranks table is collected once
+and shipped as a REAL Spark broadcast — production merge tables are
+~50k entries / a few MB, so a closure capture would re-pickle them
+per task while the broadcast pays once per executor. Counting is a
+vectorized pandas_udf over Arrow batches (never per-row Python at the
+Spark boundary) with a per-batch word cache: natural text repeats
+words heavily, so most words hit the cache instead of the merge loop.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, List, Tuple
+
+import pandas as pd
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql.functions import pandas_udf
+
+Ranks = Dict[Tuple[str, str], int]
+
+
+def parse_merges(lines: Iterable[str]) -> Ranks:
+    """merges-file lines -> {(left, right): rank}. Skips blank lines
+    and the conventional ``#version`` header; rank = first-seen order
+    (duplicate pairs keep the better/earlier rank)."""
+    ranks: Ranks = {}
+    for ln in lines:
+        ln = ln.strip("\n")
+        if not ln.strip() or ln.startswith("#"):
+            continue
+        parts = ln.split(" ")
+        if len(parts) != 2:
+            raise ValueError(f"malformed merges line: {ln!r}")
+        pair = (parts[0], parts[1])
+        if pair not in ranks:
+            ranks[pair] = len(ranks)
+    return ranks
+
+
+def bpe_segment(word: str, ranks: Ranks) -> List[str]:
+    """Greedy lowest-rank-first BPE over one word's characters — the
+    standard merges-driven algorithm: repeatedly merge the present
+    pair with the best (lowest) rank until no mergeable pair remains.
+    Pure-Python single home: the Spark UDF and the test oracle both
+    call this, so the algorithm cannot fork."""
+    if not word:
+        return []
+    parts = list(word)
+    while len(parts) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        parts[best_i:best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+    return parts
+
+
+def count_tokens(text: str, ranks: Ranks,
+                 cache: Dict[str, int] | None = None) -> int:
+    """Whitespace-word pre-split (the family's ws convention), BPE
+    within each word, total sub-word count."""
+    if cache is None:
+        cache = {}
+    n = 0
+    for w in (text or "").split():
+        c = cache.get(w)
+        if c is None:
+            c = len(bpe_segment(w, ranks))
+            cache[w] = c
+        n += c
+    return n
+
+
+def bpe_vocab_counter(
+    spark: SparkSession, merges: Iterable[str] | Ranks
+) -> Callable[[Column], Column]:
+    """Build the tokenizer-exact count column factory: pass merges-file
+    lines (or a pre-parsed ranks dict); returns ``f(col) -> Column``
+    producing int token counts. Usage::
+
+        cnt = bpe_vocab_counter(spark, open("merges.txt"))
+        docs.withColumn("n_tokens", cnt(F.col("text")))
+
+    The ranks ride a Spark broadcast; the UDF is Arrow-vectorized with
+    a per-batch word cache."""
+    ranks: Ranks = (
+        merges if isinstance(merges, dict) else parse_merges(merges)
+    )
+    bc = spark.sparkContext.broadcast(ranks)
+
+    @pandas_udf("int")
+    def _cnt(texts: pd.Series) -> pd.Series:
+        r = bc.value
+        cache: Dict[str, int] = {}
+        return texts.map(lambda t: count_tokens(t, r, cache)).astype(
+            "int32"
+        )
+
+    return _cnt
