@@ -5,7 +5,8 @@ Prints ONE JSON line:
    local[$SPARK_GRAFT_CPUS]>, "unit": "turns/sec",
    "queries": {<name>: sec, ...}, "sf": <sf>,
    "scaling": {"local8_tps": ..., "local32_tps": ...,
-               "efficiency": tps32/(4*tps8)}}
+               "efficiency": median of per-round tps ratios,
+               "efficiency_rounds": [...], "efficiency_range": [lo, hi]}}
 
 Scaling protocol (BASELINE.json north_rule, sandbox stand-in for N vs
 4N executors): the SAME extraction job runs in two subprocesses at
@@ -182,11 +183,20 @@ def ensure_growth_docs(n_docs: int, n_files: int = 32,
     import numpy as np
     import pandas as pd
 
-    path = os.path.join(CACHE, f"growth_docs_{n_docs}_s{seed}_v1")
+    path = os.path.join(CACHE, f"growth_docs_{n_docs}_s{seed}_v2")
     if os.path.exists(path):
         return path
     rng = np.random.default_rng(seed)
-    vocab = np.array([f"w{i}" for i in range(10_000)])
+    # the zipf HEAD is real English stopwords (as in any web corpus):
+    # the quality/language gates see realistic stopword mass, so the
+    # END-TO-END funnel can run on this fixture; the tail stays
+    # synthetic ids so shingle df distributions keep their shape
+    from pdfextraction_spark.functions.text import EN_STOPWORDS
+
+    vocab = np.array(
+        list(EN_STOPWORDS)
+        + [f"w{i}" for i in range(10_000 - len(EN_STOPWORDS))]
+    )
     # zipf ranks: p(i) ~ 1/(i+1)
     p = 1.0 / np.arange(1, len(vocab) + 1)
     p /= p.sum()
@@ -383,21 +393,27 @@ def run_scaling(parquet: str, pair=SCALE_PAIR) -> dict:
     # windows (observed: a single noisy local[hi] window once dragged
     # measured efficiency from ~0.85 to 0.67)
     n_rounds = max(1, int(os.environ.get("PDFX_SCALE_ROUNDS", "3")))
-    for cores in (lo, hi) * n_rounds:
-        out_path = f"/tmp/pdfx_bench_{cores}.json"
-        subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--extract-worker",
-             f"local[{cores}]", parquet, out_path],
-            check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-            env=env,
-        )
-        with open(out_path) as f:
-            r = json.load(f)
-        walls[cores].extend(r["walls"])
-        n_turns = r["n_turns"]
+    per_round = []
+    for _rnd in range(n_rounds):
+        round_best = {}
+        for cores in (lo, hi):
+            out_path = f"/tmp/pdfx_bench_{cores}.json"
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--extract-worker",
+                 f"local[{cores}]", parquet, out_path],
+                check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+                env=env,
+            )
+            with open(out_path) as f:
+                r = json.load(f)
+            walls[cores].extend(r["walls"])
+            round_best[cores] = min(r["walls"])
+            n_turns = r["n_turns"]
+        per_round.append(round_best)
     for cores in (lo, hi):
         # min over pooled walls: host noise (CPU steal) is strictly
         # additive, so the minimum estimates true capability; medians
@@ -406,7 +422,23 @@ def run_scaling(parquet: str, pair=SCALE_PAIR) -> dict:
         res[cores] = {"wall": wall, "tps": n_turns / wall,
                       "walls": walls[cores]}
     res["pair"] = [lo, hi]
-    res["efficiency"] = res[hi]["tps"] / ((hi / lo) * res[lo]["tps"])
+    # headline efficiency = MEDIAN of the per-round ratios (each round
+    # is an adjacent lo/hi pair, so a CPU-steal burst hits both sides
+    # of its own ratio rather than one side of a pooled min); the
+    # range records the day's noise band in the artifact itself —
+    # VERDICT r5 item 7: the driver artifact must carry the claim the
+    # across-run median supports, not a single noisy pair.
+    effs = sorted(
+        (n_turns / rb[hi]) / ((hi / lo) * (n_turns / rb[lo]))
+        for rb in per_round
+    )
+    res["efficiency_rounds"] = [round(e, 3) for e in effs]
+    res["efficiency_range"] = [round(effs[0], 3), round(effs[-1], 3)]
+    res["efficiency"] = round(effs[len(effs) // 2], 3)
+    # the pooled-min pairing kept for continuity with r1-r5 artifacts
+    res["efficiency_pooled_min"] = round(
+        res[hi]["tps"] / ((hi / lo) * res[lo]["tps"]), 3
+    )
     return res
 
 
@@ -748,6 +780,87 @@ def run_sf_growth(tiers=("/root/testdata/sf0.01", "/root/testdata/sf0.1"),
                 math.log(walls[1] / walls[0]) / math.log(n_hi / n_lo), 3
             ),
         }
+    # ---- funnel v2 END-TO-END growth (VERDICT r5 item 6) ----------
+    # The most expensive composite gets its own measured row: gates ->
+    # exact dedup -> LSH near-dup canonicalization (bucket_cap dial
+    # operated) -> components -> repetition gate -> quota sample, run
+    # whole at both doc tiers. Components measured are the COMPOSITION
+    # — every stage already has a row above; this certifies the
+    # checkpoint/subgraph plumbing between them doesn't reintroduce a
+    # super-linear term.
+    from pdfextraction_spark.functions.curation import curation_funnel
+
+    fv_walls = []
+    for n, d in doc_tiers:
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+
+        def fn(_docs=docs, _n=n):
+            return curation_funnel(
+                _docs, min_quality=0.5, max_top2_frac=0.12,
+                per_lang=max(10, _n // 100), near_dup=True,
+                nd_threshold=0.2, bucket_cap=8,
+            )
+
+        force(fn())  # untimed warm per tier
+        ws = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            force(fn())
+            ws.append(time.time() - t0)
+        fv_walls.append(sorted(ws)[len(ws) // 2])
+    out["growth_fixture"]["curation_funnel_v2"] = {
+        "input_table": "documents",
+        "rows": [doc_tiers[0][0], doc_tiers[1][0]],
+        "bucket_cap": 8,
+        "wall_sec": [round(fv_walls[0], 3), round(fv_walls[1], 3)],
+        "exponent": round(
+            math.log(fv_walls[1] / fv_walls[0])
+            / math.log(doc_tiers[1][0] / doc_tiers[0][0]), 3
+        ),
+    }
+    # ---- big-vocabulary LM growth (VERDICT r5 item 9) -------------
+    # vocab_size=100k against the fixture's ~10k realized types: the
+    # whole vocabulary becomes the model (worst case for THIS corpus),
+    # so the vectorized scorer ships a 10^4-entry dict — through a
+    # real Spark broadcast, not a per-task closure pickle. End-to-end
+    # = train + score, the production shape.
+    from pdfextraction_spark.functions.lm import (
+        perplexity_score,
+        train_unigram_lm,
+    )
+
+    lm_walls, lm_types = [], []
+    for n, d in doc_tiers:
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+
+        def fn(_docs=docs):
+            lm, oov_logp, _nt = train_unigram_lm(
+                _docs, vocab_size=100_000, alpha=1.0
+            )
+            return perplexity_score(_docs, lm, oov_logp, vectorized=True)
+
+        force(fn())  # untimed warm per tier
+        ws = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            force(fn())
+            ws.append(time.time() - t0)
+        lm_walls.append(sorted(ws)[len(ws) // 2])
+        lm_types.append(
+            docs.select(SF.explode(SF.split(SF.col("text"), " "))
+                        .alias("t")).distinct().count()
+        )
+    out["growth_fixture"]["lm_perplexity_bigv"] = {
+        "input_table": "documents",
+        "rows": [doc_tiers[0][0], doc_tiers[1][0]],
+        "vocab_size": 100_000,
+        "realized_types": lm_types,
+        "wall_sec": [round(lm_walls[0], 3), round(lm_walls[1], 3)],
+        "exponent": round(
+            math.log(lm_walls[1] / lm_walls[0])
+            / math.log(doc_tiers[1][0] / doc_tiers[0][0]), 3
+        ),
+    }
     # ---- incremental dedup joins: NEW BATCH FIXED, corpus 10x -----
     # The production crawl-increment shape: the new batch stays the
     # same size while the reference corpus grows 10x. A near-linear
@@ -1153,9 +1266,13 @@ def write_bench_md(result: dict, history: list | None = None) -> None:
             lines.append(f"| local[{c}] | {r['tps']:.0f} | {r['wall']:.2f} |")
     if "efficiency" in sc:
         lines.append("")
+        er = sc.get("efficiency_range")
+        er_str = (f" — median of {len(sc.get('efficiency_rounds', []))} "
+                  f"interleaved rounds, range [{er[0]:.3f}, {er[1]:.3f}]"
+                  if er else "")
         lines.append(
             f"**Scaling efficiency** = tps({hi}) / ({hi // lo} x tps({lo})) = "
-            f"**{sc['efficiency']:.3f}** (target >= 0.8)"
+            f"**{sc['efficiency']:.3f}** (target >= 0.8){er_str}"
         )
     lines += [
         "",

@@ -31,6 +31,7 @@ def curation_funnel_stages(
     near_dup: bool = False,
     nd_threshold: float = 0.2,
     portable: bool = True,
+    bucket_cap: int | None = None,
 ) -> dict:
     """The funnel's intermediate stages, keyed gated -> survivors ->
     [nd_kept ->] final (each a DataFrame with the original doc
@@ -47,7 +48,10 @@ def curation_funnel_stages(
     cluster member (ties -> smallest id) via cluster_representatives
     — near-dup copies differ in noise/truncation and the funnel wants
     the best one, not an arbitrary one. ``portable=False`` switches
-    the pair stage to the xxhash64 production hash family."""
+    the pair stage to the xxhash64 production hash family;
+    ``bucket_cap`` forwards the saturated-LSH-bucket dial (pathological
+    duplicate mass caps each band bucket's pair fan-out while the
+    capped pairs still chain the cluster for components)."""
     t = F.col("text")
     quality = F.round(X.quality_score(t), 4)
     gated = docs.filter(
@@ -68,7 +72,8 @@ def curation_funnel_stages(
         # cached by default) — materialize it once; near-dup pairs
         # are a sliver of the corpus, so the checkpoint is bounded
         pairs = minhash_lsh_pairs(
-            survivors, threshold=nd_threshold, portable=portable
+            survivors, threshold=nd_threshold, portable=portable,
+            bucket_cap=bucket_cap,
         ).select("id_a", "id_b").localCheckpoint()
         # components run ONLY over docs that appear in a pair: every
         # other survivor is trivially its own representative, so the
@@ -111,10 +116,12 @@ def curation_funnel(
     near_dup: bool = False,
     nd_threshold: float = 0.2,
     portable: bool = True,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Selected training subset with per-language sample_rank."""
     stages = curation_funnel_stages(
         docs, min_quality, max_top2_frac,
         near_dup=near_dup, nd_threshold=nd_threshold, portable=portable,
+        bucket_cap=bucket_cap,
     )
     return quota_sample(stages["final"], k=per_lang, stratum_col="lang")
