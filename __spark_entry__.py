@@ -126,61 +126,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the back and are still covered by tools/check_correctness.py full
     # sweeps + pytest.
     return {
-        # --- round-4/5 LLM-pipeline surface (rotated to the front r5) ---
-        "cluster_representatives": q_cluster_reps,
-        "ngram_jaccard_join": q_ngram_jaccard_join,
-        "minhash_lsh_join": q_minhash_lsh_join,
-        "cosine_near_join": q_cosine_near_join,
-        "pq_encode": q_pq_encode,
-        "pq_adc_topk": q_pq_adc_topk,
-        "ann_ivfpq_topk": q_ann_ivfpq,
-        "chunk_documents": q_chunk_documents,
-        "pack_chunks": q_pack_chunks,
-        "curation_funnel": q_curation_funnel,
-        "curation_funnel_v2": q_curation_funnel_v2,
-        "hot_shingles": q_hot_shingles,
-        "dup_rate_by_source": q_dup_rate_by_source,
-        "corpus_diff": q_corpus_diff,
-        "winnow_containment": q_winnow_containment,
-        "tfidf_topk": q_tfidf_topk,
-        "dataset_split": q_dataset_split,
-        "length_quantiles": q_length_quantiles,
-        "semantic_dedup": q_semantic_dedup,
-        "conv_dedup": q_conv_dedup,
-        "incremental_update": q_incremental_update,
-        "mixture_weights": q_mixture_weights,
-        "context_windows": q_context_windows,
-        "sft_samples": q_sft_samples,
-        "training_filter": q_training_filter,
-        # --- round-6 additions ---
+        # --- round-6 additions + render (first full-oracle stamp) ---
         "template_apply": q_template_apply,
-        # --- round-5 additions ---
-        "ann_ivfpq_indexed": q_ann_ivfpq_indexed,
-        "sft_packed": q_sft_packed,
-        "text_guards": q_text_guards,
-        "usage_costs": q_usage_costs,
         "render_pages": q_render_pages,
-        "lm_perplexity": q_lm_perplexity,
-        "ppl_buckets": q_ppl_buckets,
-        # --- long-stamped core surface (green since r1-r3) ---
-        "sessionize_events": q_sessionize,
-        "longest_wins_merge": q_longest_wins,
-        "topk_recent": q_topk_recent,
-        "windowed_sums": q_windowed_sums,
-        "group_stats": q_group_stats,
-        "ordered_accumulate": q_ordered_accumulate,
-        "token_stats": q_token_stats,
-        "json_extract": q_json_extract,
-        "format_pairs": q_format_pairs,
-        "asof_latest_click": q_asof_latest_click,
-        "trigram_lang": q_trigram_lang,
-        "hypertable_rollup": q_hypertable_rollup,
-        "range_band_join": q_range_band_join,
-        "dedup_exact": q_dedup_exact,
-        "doc_fingerprint": q_doc_fingerprint,
-        "winnow_fingerprints": q_winnow,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_cosine_topk": q_ann_topk,
+        # --- r1-r4-stamped block rotated to the front for r6 ---
         "cosine_near_pairs": q_cosine_near_pairs,
         "monthly_rollup": q_monthly_rollup,
         "extract_turns": q_extract_turns,
@@ -213,6 +162,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_hits": q_contamination,
         "corpus_token_stats": q_corpus_token_stats,
         "quota_sample": q_quota_sample,
+        # --- r5-stamped core, oldest-first fill of the 50-window ---
+        "sessionize_events": q_sessionize,
+        "longest_wins_merge": q_longest_wins,
+        "topk_recent": q_topk_recent,
+        "windowed_sums": q_windowed_sums,
+        "group_stats": q_group_stats,
+        "ordered_accumulate": q_ordered_accumulate,
+        "token_stats": q_token_stats,
+        "json_extract": q_json_extract,
+        "format_pairs": q_format_pairs,
+        "asof_latest_click": q_asof_latest_click,
+        "trigram_lang": q_trigram_lang,
+        "hypertable_rollup": q_hypertable_rollup,
+        "range_band_join": q_range_band_join,
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprint": q_doc_fingerprint,
+        "winnow_fingerprints": q_winnow,
+        # ---------- 50-name driver window ends here ----------
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine_topk": q_ann_topk,
+        # --- r5-stamped LLM-pipeline surface (back half this round) ---
+        "cluster_representatives": q_cluster_reps,
+        "ngram_jaccard_join": q_ngram_jaccard_join,
+        "minhash_lsh_join": q_minhash_lsh_join,
+        "cosine_near_join": q_cosine_near_join,
+        "pq_encode": q_pq_encode,
+        "pq_adc_topk": q_pq_adc_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq,
+        "chunk_documents": q_chunk_documents,
+        "pack_chunks": q_pack_chunks,
+        "curation_funnel": q_curation_funnel,
+        "curation_funnel_v2": q_curation_funnel_v2,
+        "hot_shingles": q_hot_shingles,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "corpus_diff": q_corpus_diff,
+        "winnow_containment": q_winnow_containment,
+        "tfidf_topk": q_tfidf_topk,
+        "dataset_split": q_dataset_split,
+        "length_quantiles": q_length_quantiles,
+        "semantic_dedup": q_semantic_dedup,
+        "conv_dedup": q_conv_dedup,
+        "incremental_update": q_incremental_update,
+        "mixture_weights": q_mixture_weights,
+        "context_windows": q_context_windows,
+        "sft_samples": q_sft_samples,
+        "training_filter": q_training_filter,
+        "ann_ivfpq_indexed": q_ann_ivfpq_indexed,
+        "sft_packed": q_sft_packed,
+        "text_guards": q_text_guards,
+        "usage_costs": q_usage_costs,
+        "lm_perplexity": q_lm_perplexity,
+        "ppl_buckets": q_ppl_buckets,
     }
 
 
