@@ -1,7 +1,12 @@
 """Local stand-in for the driver's correctness gate: run each
 queries()[name] on Spark and oracle_sql()[name] on DuckDB over the
 same sf dir, compare row count + column names + order-insensitive
-values. Usage: python tools/check_correctness.py [sf_dir] [names...]"""
+values. Usage: python tools/check_correctness.py [sf_dir] [names...]
+
+REQUIRED PER-ROUND GATE (no names = all queries): the driver stamps
+only the first 50 registry names each round, so the full sweep here
+is what keeps the rotated-to-the-back queries value-checked every
+round — run it green before shipping a round."""
 
 from __future__ import annotations
 
