@@ -65,6 +65,17 @@ def curation_funnel_stages(
         .select("doc_id")
     )
     survivors = gated.join(canon, "doc_id", "semi")
+    # the survivor set feeds EVERY later stage — the LSH sketch, the
+    # member/score extraction, the anti-join, the repetition gate AND
+    # the final semi-join all contain it as a subplan, so without a
+    # materialization the regex-heavy gate (quality_score +
+    # is_english) plus the md5 canon shuffle re-run once per branch
+    # (~5x in the near-dup form). Stage outputs are exactly what
+    # production funnels persist between stages; localCheckpoint is
+    # that stage boundary at this scale (at warehouse scale the same
+    # line becomes persist(DISK_ONLY) or a stage parquet — values are
+    # identical either way, so the oracle contract is untouched).
+    survivors = survivors.localCheckpoint()
     stages = {"gated": gated, "survivors": survivors}
     if near_dup:
         # the pair list is consumed by three downstream plans (member
@@ -91,10 +102,17 @@ def curation_funnel_stages(
             survivors.join(members, "doc_id", "semi")
             .select("doc_id", quality.alias("__q"))
         )
+        # the drop list is an id-only sliver (non-representative
+        # near-dup copies) but its lineage is the whole
+        # components-loop + cluster window; the post-ND survivor set
+        # appears in BOTH remaining branches (repetition gate + final
+        # semi-join), so cut it here or the component labeling runs
+        # twice inside the one final action
         drop = (
             cluster_representatives(scored, pairs, score_col="__q")
             .filter(~F.col("is_representative"))
             .select("doc_id")
+            .localCheckpoint()
         )
         survivors = survivors.join(drop, "doc_id", "anti")
         stages["nd_kept"] = survivors
