@@ -162,7 +162,10 @@ def ngram_jaccard_join(left: DataFrame, right: DataFrame,
     as exact_dedup)."""
 
     def side(df: DataFrame, out_id: str):
-        sh = with_shingles(df, text_col, id_col, n)
+        # per-side shingle table: consumed by the df-count union, the
+        # cold join, the hot arrays and the size join — one cut per
+        # side (the ngram_jaccard_pairs materialization stance)
+        sh = with_shingles(df, text_col, id_col, n).localCheckpoint()
         sizes = sh.select(
             F.col("doc_id").alias(out_id), F.size("shingles").alias("n_sh")
         )
@@ -235,7 +238,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     keys (collision policy: a 64-bit collision merges two shingles and
     can inflate one intersection count by 1; P ~ s^2/2^65 corpus-wide,
     same stance as exact_dedup)."""
-    sh = with_shingles(df, text_col, id_col, n)
+    # the shingle table is a subplan of FIVE downstream branches (the
+    # df-count, the cold occurrences, the hot arrays, and both size
+    # sides of the final join) — without a cut the regex shingling of
+    # the whole corpus re-runs per branch. Materialize it once: the
+    # same persisted-shingle-index artifact every production dedup
+    # pipeline keeps (winnow_containment_pairs' fps table stance; at
+    # warehouse scale the same line is persist(DISK_ONLY) or a stage
+    # parquet — values identical, oracle contract untouched).
+    sh = with_shingles(df, text_col, id_col, n).localCheckpoint()
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select(
         "doc_id", F.explode("shingles").alias("sh")
@@ -304,7 +315,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,
                        num_hashes: int = 32,
-                       portable: bool = False) -> DataFrame:
+                       portable: bool = False,
+                       shingles: DataFrame | None = None) -> DataFrame:
     """num_hashes minhash values per doc: min over shingles of
     hash_i(shingle). Seeded-hash families replace explicit
     permutations (standard MinHash trick).
@@ -312,8 +324,15 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     ``portable=False``: xxhash64(shingle, seed_i) longs (production).
     ``portable=True``: md5_seeded_prefix hex strings — the identical
     signature is computable in plain SQL, so the driver's DuckDB
-    oracle re-derives it end to end."""
-    sh = with_shingles(df, text_col, id_col, n)
+    oracle re-derives it end to end.
+
+    ``shingles`` short-circuits the shingling step with a caller-built
+    (doc_id, shingles) table — the LSH operators shingle the corpus
+    ONCE, materialize it, and share it between the signature
+    aggregation and the exact-Jaccard verify join."""
+    sh = shingles if shingles is not None else with_shingles(
+        df, text_col, id_col, n
+    )
     # explode once, then num_hashes columnar min-aggregations (partial
     # agg map-side) — far cheaper than evaluating num_hashes array
     # transforms per row
@@ -374,23 +393,29 @@ def minhash_lsh_join(left: DataFrame, right: DataFrame,
     verifies. Same s-curve recall as minhash_lsh_pairs; every emitted
     pair is exact (verify-before-emit)."""
     r = num_hashes // bands
+    # each side shingles ONCE: the table feeds both that side's
+    # signature aggregation and its exact-verify join below — for the
+    # incremental path the corpus side is the expensive one and this
+    # halves its shingling cost per batch
+    sh_l = with_shingles(left, text_col, id_col, n).localCheckpoint()
+    sh_r = with_shingles(right, text_col, id_col, n).localCheckpoint()
     bl = _band_bucket_rows(
         minhash_signatures(left, text_col, id_col, n, num_hashes,
-                           portable), bands, r, portable
+                           portable, shingles=sh_l), bands, r, portable
     ).withColumnRenamed("doc_id", "left_id")
     br = _band_bucket_rows(
         minhash_signatures(right, text_col, id_col, n, num_hashes,
-                           portable), bands, r, portable
+                           portable, shingles=sh_r), bands, r, portable
     ).withColumnRenamed("doc_id", "right_id")
     cand = (
         bl.join(br, ["band", "bucket"])
         .select("left_id", "right_id")
         .distinct()
     )
-    sa = with_shingles(left, text_col, id_col, n).select(
+    sa = sh_l.select(
         F.col("doc_id").alias("left_id"), F.col("shingles").alias("sh_a")
     )
-    sb = with_shingles(right, text_col, id_col, n).select(
+    sb = sh_r.select(
         F.col("doc_id").alias("right_id"), F.col("shingles").alias("sh_b")
     )
     return (
@@ -446,14 +471,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     ~e^-c (use c >= 8). Default None keeps the exact all-pairs
     contract (the driver-oracle path)."""
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, portable)
-    bucket_rows = _band_bucket_rows(sigs, bands, r, portable)
+    # shingle ONCE, share between the signature aggregation and the
+    # exact-Jaccard verify join (sa/sb below) — otherwise the corpus
+    # re-shingles per consumer (~4x per action with the self-join)
+    sh = with_shingles(df, text_col, id_col, n).localCheckpoint()
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes,
+                              portable, shingles=sh)
+    # the bucket rows are tiny (docs x bands fixed-width rows) but
+    # their lineage is the whole num_hashes-column min aggregation;
+    # both sides of the candidate self-join consume them, so cut here
+    # or the signature agg runs twice
+    bucket_rows = _band_bucket_rows(sigs, bands, r, portable).localCheckpoint()
     if bucket_cap is not None:
-        # three consumers below (sizes agg, reps side, b side) — cut
-        # the lineage so the shingle+minhash chain runs ONCE, not 3x
-        # (the family's localCheckpoint discipline; the capped dial
-        # exists precisely for corpora where that chain is expensive)
-        bucket_rows = bucket_rows.localCheckpoint()
         sizes = bucket_rows.groupBy("band", "bucket").agg(
             F.count("*").alias("__bsz")
         )
@@ -508,7 +537,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                     F.col("b.doc_id").alias("id_b"))
             .distinct()
         )
-    sh = with_shingles(df, text_col, id_col, n)
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -606,7 +634,12 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     if bands is None:
         bands = max_hamming + 1
     total_bits = 60 if portable else 64
-    sh = (simhash_portable60 if portable else simhash64)(df, text_col, id_col)
+    # the sketch is tiny (doc_id + one long) but its lineage is the
+    # full shingle explode + bits-wide sum aggregation, and BOTH sides
+    # of the banded self-join contain it — cut once, sketch once
+    sh = (simhash_portable60 if portable else simhash64)(
+        df, text_col, id_col
+    ).localCheckpoint()
 
     def _band_key(start: int, width: int):
         shifted = F.shiftrightunsigned("simhash", start)
