@@ -384,7 +384,11 @@ def run_scaling(parquet: str, pair=SCALE_PAIR) -> dict:
     # the job becomes IO/scheduling-bound, which measures the box, not
     # the engine. Dedup-on throughput is reported separately.
     env["PDFX_CONTENT_DEDUP"] = "0"
-    env["PDFX_WORKER_RUNS"] = "2"
+    # 3 timed runs per subprocess: the hi-core config is the one the
+    # box's steal bursts hit (observed local[8] swinging 93k<->127k
+    # tps between adjacent windows while local[2] stayed put); min
+    # over 3 gives each round a real chance at one clean hi window
+    env["PDFX_WORKER_RUNS"] = "3"
     walls = {lo: [], hi: []}
     n_turns = None
     # interleave the two configs to cancel temporal noisy-neighbor
@@ -392,7 +396,7 @@ def run_scaling(parquet: str, pair=SCALE_PAIR) -> dict:
     # = better immunity to a CPU-steal burst sitting on one config's
     # windows (observed: a single noisy local[hi] window once dragged
     # measured efficiency from ~0.85 to 0.67)
-    n_rounds = max(1, int(os.environ.get("PDFX_SCALE_ROUNDS", "3")))
+    n_rounds = max(1, int(os.environ.get("PDFX_SCALE_ROUNDS", "5")))
     per_round = []
     for _rnd in range(n_rounds):
         round_best = {}
@@ -1470,6 +1474,13 @@ def main() -> None:
                     scaling[scaling["pair"][1]]["tps"], 1
                 ),
                 "efficiency": round(scaling["efficiency"], 3),
+                # the artifact itself must carry the evidence behind
+                # the median claim (VERDICT r5 item 7) — the
+                # per-round ratios, their spread, and the legacy
+                # pooled-min pairing for r1-r5 continuity
+                "efficiency_rounds": scaling["efficiency_rounds"],
+                "efficiency_range": scaling["efficiency_range"],
+                "efficiency_pooled_min": scaling["efficiency_pooled_min"],
             }
             if scaling
             else None
