@@ -72,6 +72,22 @@ class TestDedup:
         merged = truth.merge(got, on=["id_a", "id_b"], suffixes=("_t", "_g"))
         assert (merged["jaccard_t"] == merged["jaccard_g"]).all()
 
+    def test_signatures_accept_precomputed_shingles(self, docs):
+        """minhash_signatures(shingles=...) — the share-the-shingle-
+        table contract the LSH operators rely on — must yield exactly
+        the signatures of the self-shingling path."""
+        base = D.minhash_signatures(docs, num_hashes=8).toPandas()
+        sh = D.with_shingles(docs)
+        via = D.minhash_signatures(docs, num_hashes=8,
+                                   shingles=sh).toPandas()
+        b = base.sort_values("doc_id").reset_index(drop=True)
+        v = via.sort_values("doc_id").reset_index(drop=True)
+        assert (b["doc_id"] == v["doc_id"]).all()
+        assert all(
+            list(x) == list(y)
+            for x, y in zip(b["signature"], v["signature"])
+        )
+
     def test_bucket_cap_bounds_pairs_keeps_component(self, spark):
         """Saturated-bucket dial (crawl-mirror failure mode): a
         120-member near-identical cluster makes the true pair output
