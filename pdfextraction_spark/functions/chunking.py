@@ -303,20 +303,38 @@ def _np_context_windows(base: DataFrame, budget: int) -> DataFrame:
         )
 
     def gen(batches):
-        carry = None
+        # hold = PIECES of the one open conversation (the partition
+        # tail), concatenated ONCE when it closes. Re-concatenating
+        # the whole carry into every incoming batch would copy the
+        # open conversation once per batch it spans — O(len^2/batch)
+        # for a mega-conversation (1200 full copies for a 10M-turn
+        # conversation at 8192-row Arrow batches). Batches arrive in
+        # partition sort order, so the open conversation either
+        # continues at the head of the next batch or closed exactly
+        # at the boundary; in both cases hold + the batch's non-tail
+        # rows are complete conversations in sort order, so one
+        # concat + one assemble per batch stays exact.
+        hold = []
         for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
             if not len(pdf):
                 continue
-            last = pdf["conv_id"].iloc[-1]
-            tail = pdf["conv_id"] == last
-            carry = pdf[tail]
-            done = pdf[~tail].reset_index(drop=True)
+            tail = pdf["conv_id"] == pdf["conv_id"].iloc[-1]
+            done = pdf[~tail]
             if len(done):
-                yield assemble(done)
-        if carry is not None and len(carry):
-            yield assemble(carry.reset_index(drop=True))
+                closed = (
+                    pd.concat(hold + [done], ignore_index=True)
+                    if hold else done.reset_index(drop=True)
+                )
+                hold = []
+                yield assemble(closed)
+            elif hold and hold[-1]["conv_id"].iloc[-1] != pdf["conv_id"].iloc[0]:
+                # batch is entirely one NEW conversation: the held one
+                # closed exactly at the batch boundary
+                yield assemble(pd.concat(hold, ignore_index=True))
+                hold = []
+            hold.append(pdf[tail])
+        if hold:
+            yield assemble(pd.concat(hold, ignore_index=True))
 
     part = base.repartition("conv_id").sortWithinPartitions(
         "conv_id", "turn_idx")

@@ -817,6 +817,41 @@ class TestMixtureWeights:
 
 
 class TestReviewFixesR4:
+    def test_vectorized_parity_across_arrow_batches(self, spark):
+        """The mapInPandas carry path: with 16-row Arrow batches a
+        128-turn conversation spans 8+ batches, a 16-turn one closes
+        exactly ON a batch boundary, and singletons land between —
+        the held-pieces carry must reassemble every case exactly
+        (pinned against the expression form, which has no batching)."""
+        import numpy as np
+        import pandas as pd
+
+        from pdfextraction_spark.functions.chunking import context_windows
+
+        rows = []
+        for c, n in [("a", 128), ("b", 16), ("c", 1), ("d", 47),
+                     ("e", 16), ("f", 3)]:
+            for i in range(n):
+                rows.append((c, i, " ".join(["t"] * ((i * 7) % 13))))
+        t = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string"
+        ).repartition(2)
+        key = ["conv_id", "turn_idx"]
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+        try:
+            b = context_windows(t, budget=20, vectorized=True).toPandas() \
+                .sort_values(key).reset_index(drop=True)
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        a = context_windows(t, budget=20, vectorized=False).toPandas() \
+            .sort_values(key).reset_index(drop=True)
+        a = a.astype(b.dtypes.to_dict())
+        pd.testing.assert_frame_equal(a, b)
+        # every turn present exactly once despite the batch cuts
+        assert len(b) == 128 + 16 + 1 + 47 + 16 + 3
+
     def test_context_windows_null_text_is_zero_tokens(self, spark):
         import pandas as pd
 
