@@ -1215,6 +1215,11 @@ def _update_history(result: dict) -> list:
                 hist = json.load(f)
         except ValueError:
             hist = []
+    # history medians assume one scale: a debug run at another sf
+    # (e.g. the quick sf0.01 smoke) must not mix its walls into the
+    # sf0.1 per-query records
+    if str(result.get("sf")) != "0.1":
+        return hist
     sc = result.get("scaling") or {}
     hist.append(
         {
