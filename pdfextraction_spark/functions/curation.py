@@ -54,9 +54,14 @@ def curation_funnel_stages(
     capped pairs still chain the cluster for components)."""
     t = F.col("text")
     quality = F.round(X.quality_score(t), 4)
+    # the gate (quality_score + is_english, the regex-heavy full-
+    # corpus scan) is a subplan of BOTH the canon aggregation and the
+    # semi-join probe side below — materialize its (small,
+    # post-filter) output once so the scan runs once, not twice
+    # (profiled: the doubled gate was ~60% of the survivor-stage wall)
     gated = docs.filter(
         (quality >= min_quality) & X.is_english(t)
-    )
+    ).localCheckpoint()
     norm = X.norm_ws_lower(F.col("text"))
     canon = (
         gated.select("doc_id", F.md5(F.encode(norm, "UTF-8")).alias("fp"))
