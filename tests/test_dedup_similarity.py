@@ -88,6 +88,22 @@ class TestDedup:
             for x, y in zip(b["signature"], v["signature"])
         )
 
+    def test_pair_ops_empty_corpus(self, spark):
+        """Every pair operator must return an EMPTY frame with its
+        documented schema on an empty corpus — the eager stage
+        materializations run at call time, so an empty input exercises
+        them all (a crash here would take down an incremental job
+        whose batch diff happens to be empty)."""
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert D.ngram_jaccard_pairs(empty).count() == 0
+        assert D.minhash_lsh_pairs(empty).count() == 0
+        assert D.simhash_near_pairs(empty).count() == 0
+        assert D.winnow_containment_pairs(empty).count() == 0
+        out = D.incremental_update(empty, empty)
+        assert out.count() == 0
+        assert set(out.columns) == {
+            "doc_id", "status", "verdict", "dup_of", "jaccard"}
+
     def test_bucket_cap_bounds_pairs_keeps_component(self, spark):
         """Saturated-bucket dial (crawl-mirror failure mode): a
         120-member near-identical cluster makes the true pair output

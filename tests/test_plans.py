@@ -90,6 +90,26 @@ class TestPlans:
         # anti-join + semi-join against the broadcast stoplist
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
+    def test_pair_ops_read_materialized_stages(self, spark):
+        """The dedup pair operators materialize their shingle table /
+        sketch / bucket rows at call time; the FINAL plan must
+        therefore consume the checkpointed rows, never re-scan the
+        source parquet per join branch (the re-evaluation the round-6
+        stage cuts removed — a parquet scan reappearing here means a
+        branch silently re-derives the corpus-wide chain)."""
+        from pdfextraction_spark.functions.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+            simhash_near_pairs,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        for op in (ngram_jaccard_pairs, minhash_lsh_pairs,
+                   simhash_near_pairs):
+            plan = _plan(op(docs))
+            assert "Scan parquet" not in plan, op.__name__
+
     def test_repetition_pruned_scan_partial_aggs(self, spark):
         """repetition_stats must scan only (doc_id, text) — lang/
         source/n_chars pruned — and its gram count must partial-
