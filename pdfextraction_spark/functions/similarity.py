@@ -38,6 +38,69 @@ def _as_double(col):
     return F.transform(col, lambda v: v.cast("double"))
 
 
+# --------------------------------------------------------------------------
+# codegen'd fixed-width dot products (optimization guide §4.1: prefer
+# built-ins/codegen over interpreted paths).
+#
+# The HOF forms above (aggregate over zip_with) are evaluated by the
+# INTERPRETED expression walker — measured ~53 s of pure JVM CPU for
+# one pair-verify stage at bench scale. When the vector width is known
+# statically, the identical left-to-right float fold unrolls into a
+# codegen'd Add chain: 0.0 + a[0]*b[0] + a[1]*b[1] + ... reproduces
+# the fold order bit-for-bit (same additions, same sequence), so every
+# rounded-6dp value — and therefore every oracle hash — is unchanged.
+# A size guard keeps any row whose array width differs from the
+# declared dim on the exact HOF fallback (ANSI mode would otherwise
+# throw on the out-of-bounds index), so the functions stay correct on
+# arbitrary inputs.
+#
+# Scope discipline (measured, round 7): the unrolled chain is used
+# ONLY at the high-cardinality pair-verify sites, where one O(pairs)
+# stage carries a single dot. Unrolling every dot (norms, buckets,
+# 16-centroid score arrays) multiplies generated-code size past the
+# JIT sweet spot and pays a Janino compile per stage per query
+# (generated sources embed fresh expression ids, so the codegen cache
+# cannot reuse them across queries) — a measured net LOSS at the
+# O(corpus-rows) sites, which stay on the compact HOF form.
+
+_FIXED_DIM_MAX = 256
+
+
+def _dot_chain_sql(a: str, b: str, dim: int) -> str:
+    """0.0 + a[0]*b[0] + ... — the HOF fold, unrolled (same order)."""
+    terms = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim))
+    return f"(cast(0.0 as double) + {terms})"
+
+
+def _dot_hof_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _dot_cols(a: str, b: str, dim: Optional[int]):
+    """Dot product of two BOUND array<double> columns (by name), as a
+    codegen'd fixed-width chain when ``dim`` is known, guarded back to
+    the exact interpreted form for non-conforming rows."""
+    if dim is None or dim > _FIXED_DIM_MAX:
+        return _dot(F.col(a), F.col(b))
+    return F.expr(
+        f"CASE WHEN size({a}) = {dim} AND size({b}) = {dim} "
+        f"THEN {_dot_chain_sql(a, b, dim)} "
+        f"ELSE {_dot_hof_sql(a, b)} END"
+    )
+
+
+def _lit_arr(vals) -> "F.Column":
+    """Array literal in ONE py4j call (F.lit over a Python list) —
+    the per-element F.array(F.lit(x), ...) form costs a py4j round
+    trip per element (~1 ms each; a 64-dim centroid array built that
+    way costs ~0.1 s of driver time, and a 16-centroid codebook ~1 s).
+    Same literal values, same plan semantics."""
+    return F.lit([float(x) for x in vals])
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -110,7 +173,7 @@ def cosine_near_pairs(
 
     def pair_cos(a, b):
         return F.round(
-            _dot(F.col(f"{a}.v"), F.col(f"{b}.v"))
+            _dot_cols(f"{a}.v", f"{b}.v", dim)
             / (F.col(f"{a}.n") * F.col(f"{b}.n")),
             6,
         )
@@ -130,7 +193,7 @@ def cosine_near_pairs(
     if portable and planes is None:
         planes = det_int_planes(dim, bits)
     planes = planes or random_hyperplanes(dim, bits)
-    bucket = lsh_bucket_id(F.col("v"), planes, quantize=portable)
+    bucket = lsh_bucket_id("v", planes, quantize=portable, is_double=True)
     eb = e.withColumn("bucket", bucket)
     probe_list = (
         F.array(F.col("bucket"),
@@ -157,7 +220,8 @@ def cosine_near_pairs(
             "id_a",
             "id_b",
             F.round(
-                _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+                _dot_cols("v_a", "v_b", dim)
+                / (F.col("n_a") * F.col("n_b")),
                 6,
             ).alias("cos_sim"),
         )
@@ -195,7 +259,8 @@ def cosine_near_join(
             _as_double(F.col(vec_col)).alias("v"),
         ).withColumn("n", _norm(F.col("v")))
         return e.withColumn(
-            "bucket", lsh_bucket_id(F.col("v"), planes, quantize=portable)
+            "bucket",
+            lsh_bucket_id("v", planes, quantize=portable, is_double=True),
         )
 
     el = side(left, "left_id")
@@ -225,7 +290,7 @@ def cosine_near_join(
             "left_id",
             "right_id",
             F.round(
-                _dot(F.col("v_l"), F.col("v_r"))
+                _dot_cols("v_l", "v_r", dim)
                 / (F.col("n_l") * F.col("n_r")),
                 6,
             ).alias("cos_sim"),
@@ -300,24 +365,44 @@ def _pq_staged_codes(
         *keep,
         _as_double(F.col(vec_col)).alias("v"),
     )
+    # per-subspace distance arrays as ONE SQL expression each: the
+    # squared-difference fold unrolls to a codegen chain with the
+    # identical addition order (values unchanged), and the whole m x k
+    # literal tree parses in one py4j call per subspace instead of
+    # ~m x k x d_sub Column calls (~1 s of driver time per query at
+    # the driver's k=16). Non-conforming subvector widths fall back to
+    # the exact interpreted form (zip_with pads nulls, as before).
     for j, book in enumerate(codebooks):
         sub = F.slice(F.col("v"), j * d_sub + 1, d_sub)
         staged = staged.withColumn(f"__sub{j}", sub)
-        dists = []
-        for c in book:
-            lit = F.array(*[F.lit(float(x)) for x in c])
-            diff = F.zip_with(F.col(f"__sub{j}"), lit, lambda a, b: a - b)
-            dists.append(
-                F.round(
-                    F.aggregate(
-                        F.transform(diff, lambda x: x * x),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    6,
+        sname = f"__sub{j}"
+
+        def one(c, fixed: bool) -> str:
+            if fixed:
+                terms = " + ".join(
+                    f"({sname}[{i}] - {float(x)!r}D) * "
+                    f"({sname}[{i}] - {float(x)!r}D)"
+                    for i, x in enumerate(c)
                 )
-            )
-        staged = staged.withColumn(f"__d{j}", F.array(*dists))
+                acc = f"cast(0.0 as double) + {terms}"
+            else:
+                arr = ", ".join(f"{float(x)!r}D" for x in c)
+                acc = (
+                    f"aggregate(transform(zip_with({sname}, array({arr}), "
+                    f"(a, b) -> a - b), x -> x * x), "
+                    f"cast(0.0 as double), (acc, x) -> acc + x)"
+                )
+            return f"round({acc}, 6)"
+
+        fixed_arr = ", ".join(one(c, True) for c in book)
+        hof_arr = ", ".join(one(c, False) for c in book)
+        staged = staged.withColumn(
+            f"__d{j}",
+            F.expr(
+                f"CASE WHEN size({sname}) = {d_sub} "
+                f"THEN array({fixed_arr}) ELSE array({hof_arr}) END"
+            ),
+        )
     code_cols = [
         F.array_position(F.col(f"__d{j}"), F.array_min(F.col(f"__d{j}")))
         .cast("int")
@@ -365,7 +450,9 @@ def np_pq_encode_udf(codebooks: List[List[List[float]]]):
             codes[:, j] = np.argmin(d, axis=1) + 1
         return pd.Series(list(codes))
 
-    return encode
+    # same §4.4 marking as np_centroid_assign_udf (the fused
+    # assign+encode select must stay ONE ArrowEvalPython node)
+    return encode.asNondeterministic()
 
 
 def np_pq_recon_err_udf(codebooks: List[List[List[float]]]):
@@ -681,8 +768,9 @@ def _probe_lists(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
     ).withColumn(
-        "__qs",
-        _centroid_scores(F.col("qv"), centroids, assume_double=True),
+        "__nq", _norm(F.col("qv"))
+    ).withColumn(
+        "__qs", _centroid_scores_named("qv", "__nq", centroids),
     )
     probes = F.slice(
         F.transform(
@@ -752,10 +840,25 @@ def ivfpq_topk(
     vec = _resolve_vectorized(
         vectorized, max(len(centroids), len(codebooks[0]))
     )
-    assigned = _coarse_assigned(embeddings, centroids, vec,
-                                id_col, vec_col)
-    coded = pq_encode(assigned, codebooks, "vec_id", "v",
-                      vectorized=vec, keep=("list_id",))
+    if vec:
+        # ONE ArrowEvalPython node: the assign and encode UDFs both
+        # read the raw vector column and have no interdependence, so
+        # evaluating them in the same select ships the vectors across
+        # the Python boundary once instead of chaining two Python
+        # stages (guide §4.1; measured ~0.35 s per extra pandas-UDF
+        # stage at 32 tasks). Same UDFs, same codes/list_ids.
+        coded = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            np_centroid_assign_udf(centroids)(F.col(vec_col))
+            .alias("list_id"),
+            np_pq_encode_udf(codebooks)(_as_double(F.col(vec_col)))
+            .alias("codes"),
+        )
+    else:
+        assigned = _coarse_assigned(embeddings, centroids, vec,
+                                    id_col, vec_col)
+        coded = pq_encode(assigned, codebooks, "vec_id", "v",
+                          vectorized=vec, keep=("list_id",))
     probes = _probe_lists(queries, centroids, n_probe, vec,
                           query_id_col, vec_col)
     probe_rows = probes.select(
@@ -804,21 +907,25 @@ def det_int_planes(dim: int, bits: int) -> List[List[int]]:
     ]
 
 
-def lsh_bucket_id(vec_col, planes: Sequence[Sequence[float]],
-                  quantize: bool = False):
+def lsh_bucket_id(vec_name: str, planes: Sequence[Sequence[float]],
+                  quantize: bool = False, is_double: bool = False):
     """Sign-LSH bucket: bit i set iff dot(vec, plane_i) > 0.
 
     ``quantize=True`` (portable path): the vector is rounded to
     integers at QUANT_SCALE first, making the dot product exact
-    integer arithmetic — reproducible bit-for-bit across engines."""
-    v = _as_double(vec_col)
+    integer arithmetic — reproducible bit-for-bit across engines.
+
+    ``vec_name`` is a column name; plane literal arrays are built in
+    one py4j call each (_lit_arr). ``is_double=True`` skips the
+    element cast for columns already staged as array<double> (the
+    cast is a no-op on doubles, so bucket values are unchanged)."""
+    v = F.col(vec_name) if is_double else _as_double(F.col(vec_name))
     if quantize:
         v = F.transform(v, lambda x: F.round(x * QUANT_SCALE))
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
         bucket = bucket + F.when(
-            _dot(v, arr) > 0, F.lit(1 << i).cast("long")
+            _dot(v, _lit_arr(plane)) > 0, F.lit(1 << i).cast("long")
         ).otherwise(0)
     return bucket
 
@@ -857,12 +964,36 @@ def ivf_assign(vec_col, centroids: Sequence[Sequence[float]]):
     return F.array_position(s, F.array_max(s)).cast("int")
 
 
+def _centroid_scores_named(vec_name: str, norm_name: str,
+                           centroids: Sequence[Sequence[float]]):
+    """Array of rounded-6dp cosine scores against each centroid over a
+    BOUND array<double> column and its STAGED norm column. Two savings
+    vs the original Column-by-Column form, both value-preserving: the
+    per-vector norm is computed once per row (the old form inlined the
+    norm expression into every one of the k score expressions), and
+    each centroid literal array is one py4j call (_lit_arr) instead of
+    dim calls. The dot itself stays the compact HOF form — see the
+    scope-discipline note above (unrolling k x dim chains was a
+    measured net loss here)."""
+    scores = []
+    for c in centroids:
+        nc = float(np.linalg.norm(np.asarray(c, dtype=np.float64))) or 1.0
+        scores.append(
+            F.round(
+                _dot(F.col(vec_name), _lit_arr(c))
+                / (F.col(norm_name) * F.lit(nc)),
+                6,
+            )
+        )
+    return F.array(*scores)
+
+
 def _staged_assign(df: DataFrame, vec_col: str,
                    centroids: Sequence[Sequence[float]],
                    keep: Sequence[str] = ()) -> DataFrame:
     """(keep..., v array<double>, list_id int) with the scoring staged:
-    the cast vector and the 16..k-score array are real projection
-    columns, so (a) the interpreted HOF scoring runs once per ROW, not
+    the cast vector, its norm, and the 16..k-score array are real
+    projection columns, so (a) the scoring runs once per ROW, not
     once per downstream consumer, and (b) a later generate/explode
     cannot lift the scoring above itself and re-run it per element —
     the exact pathology that made each Lloyd step pay dim x the
@@ -870,7 +1001,9 @@ def _staged_assign(df: DataFrame, vec_col: str,
     staged = df.select(
         *keep, _as_double(F.col(vec_col)).alias("v")
     ).withColumn(
-        "__cs", _centroid_scores(F.col("v"), centroids, assume_double=True)
+        "__nv", _norm(F.col("v"))
+    ).withColumn(
+        "__cs", _centroid_scores_named("v", "__nv", centroids)
     )
     return staged.select(
         *keep,
@@ -930,7 +1063,13 @@ def np_centroid_assign_udf(centroids: Sequence[Sequence[float]]):
         sims = np.round((M @ C.T) / (Mn * Cn[None, :]), 6)
         return pd.Series(np.argmax(sims, axis=1) + 1, dtype="int32")
 
-    return assign
+    # nondeterministic marking (guide §4.4): join-key null filters the
+    # optimizer infers (isnotnull(list_id)) otherwise get pushed BELOW
+    # this UDF, duplicating the whole Arrow round trip — the plan grew
+    # two ArrowEvalPython nodes per side, each evaluating assign. The
+    # function is pure; the marking only blocks the duplicating
+    # rewrite, so results are unchanged (plan-asserted in tests).
+    return assign.asNondeterministic()
 
 
 def np_probe_lists_udf(centroids: Sequence[Sequence[float]],
@@ -955,7 +1094,10 @@ def np_probe_lists_udf(centroids: Sequence[Sequence[float]],
         order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe] + 1
         return pd.Series([row.astype("int32") for row in order])
 
-    return probe
+    # same §4.4 marking as np_centroid_assign_udf: the explode over
+    # __probes infers a size(__probes) > 0 filter that was pushed
+    # below the UDF, evaluating probe twice per query row
+    return probe.asNondeterministic()
 
 
 def _lloyd_step(embeddings: DataFrame, vec_col: str,
@@ -1136,9 +1278,9 @@ def lsh_bucket_topk(
     e = embeddings.select(
         F.col(id_col).alias("vec_id"),
         _as_double(F.col(vec_col)).alias("v"),
-        lsh_bucket_id(F.col(vec_col), planes, quantize=portable).alias("bucket"),
+        lsh_bucket_id(vec_col, planes, quantize=portable).alias("bucket"),
     )
-    qb = lsh_bucket_id(F.col(vec_col), planes, quantize=portable)
+    qb = lsh_bucket_id(vec_col, planes, quantize=portable)
     probe_list = (
         F.array(qb, *[qb.bitwiseXOR(F.lit(1 << i).cast("long"))
                       for i in range(len(planes))])
@@ -1223,13 +1365,15 @@ def semantic_dedup(
     # stage the norm once per vector; the pair expression is then one
     # dot product + a division (the cosine_near_pairs discipline)
     assigned = assigned.withColumn("n", _norm(F.col("v")))
-    # the final verdict join needs only (vec_id, list_id) — cut its
-    # lineage so the O(n*k*dim) assignment subtree runs for the two
-    # self-join sides, not a third time for the output join (the
-    # lineage-cut discipline; 16 bytes/row bounded). Production
-    # persists the full assignment instead — sources/ann_index.py
-    # writes exactly that layout.
-    slim = assigned.select("vec_id", "list_id").localCheckpoint()
+    # materialize the FULL assignment once (round 7: was a slim
+    # (vec_id, list_id) cut only, which left the O(n*k*dim) assignment
+    # subtree to run separately for EACH self-join side — two extra
+    # scoring passes per action). One cut feeds the two join sides and
+    # the verdict join; the extra materialized payload is the vector +
+    # norm (~dim doubles/row), exactly the persisted-assignment layout
+    # production keeps — sources/ann_index.py writes the same thing.
+    assigned = assigned.localCheckpoint()
+    slim = assigned.select("vec_id", "list_id")
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
         F.col("n").alias("na"), "list_id",
@@ -1243,7 +1387,7 @@ def semantic_dedup(
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.round(
-                _dot(F.col("va"), F.col("vb"))
+                _dot_cols("va", "vb", len(centroids[0]))
                 / (F.col("na") * F.col("nb")),
                 6,
             )
