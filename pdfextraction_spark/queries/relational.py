@@ -39,7 +39,9 @@ def q_longest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("doc_id", pick).alias("best_doc_id"),
         F.max(F.length("text")).cast("long").alias("best_len"),
         F.count("*").alias("n_docs"),
-        (F.count_distinct("text") > 1).alias("conflict_detected"),
+        # min != max == count_distinct > 1 on the non-null text column
+        # (same value, no two-phase distinct rewrite / second shuffle)
+        (F.min("text") != F.max("text")).alias("conflict_detected"),
     )
 
 
@@ -107,7 +109,16 @@ def q_ordered_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_lines"),
             acc.alias("acc"),
-            (F.count_distinct(F.col("l_quantity").cast("int")) > 1).alias("mixed_rows"),
+            # "more than one distinct value" as min != max: l_quantity
+            # is non-null, so this equals count_distinct(..) > 1 while
+            # avoiding Spark's two-phase distinct-aggregate rewrite,
+            # which shuffled the 600k-row table TWICE (plan had two
+            # Exchange + four ObjectHashAggregate nodes; now one
+            # Exchange — oracle-checked identical output)
+            (
+                F.min(F.col("l_quantity").cast("int"))
+                != F.max(F.col("l_quantity").cast("int"))
+            ).alias("mixed_rows"),
         )
     )
 
