@@ -46,6 +46,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     # minhash-LSH edges that is the full sketch/band/verify chain —
     # measured ~2x the funnel's wall before the cut). The edge list
     # is the near-dup pair set: tiny relative to the corpus.
+    from pyspark.sql import Observation
+
     und = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -88,7 +90,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         )
 
     prev_sum = _label_sum(labels) if integral_ids else None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # neighbor minimum: one shuffle join (edges x labels) + one
         # grouped min — both hash-partial, fixed-width keys
         nbr = (
@@ -96,7 +98,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             .groupBy("dst")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        new_plan = (
             labels.join(nbr, labels.node == nbr.dst, "left")
             .select(
                 "node",
@@ -104,9 +106,21 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                     "component", F.coalesce("nbr_min", "component")
                 ).alias("component"),
             )
-        ).localCheckpoint()
+        )
         if integral_ids:
-            cur_sum = _label_sum(new_labels)
+            # the convergence sum rides the checkpoint job via observe
+            # (fires on localCheckpoint's materialization), so each
+            # iteration is ONE job instead of checkpoint + a separate
+            # sum pass — same decimal(38,0) sum over the same rows
+            obs = Observation(f"cc_label_sum_{it}")
+            new_plan = new_plan.observe(
+                obs,
+                F.sum(F.col("component").cast("decimal(38,0)"))
+                .alias("lsum"),
+            )
+        new_labels = new_plan.localCheckpoint()
+        if integral_ids:
+            cur_sum = obs.get["lsum"]
             converged = cur_sum == prev_sum
             prev_sum = cur_sum
         else:

@@ -50,6 +50,20 @@ def build_session(
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # AQE coalescing floor (guide §2.2 note): Spark's coalescing
+        # cost model assumes task cost ~ bytes, but the text operators
+        # (32-seed minhash sigs, shingling, regex gates) are CPU-heavy
+        # per byte — a sub-1MB post-shuffle survivor set was coalesced
+        # to ONE partition and its downstream hashing ran
+        # single-threaded (0.4-0.6 s single-task stages in the funnel;
+        # incremental_update 3.5 s -> 2.6 s with the floor lowered).
+        # At warehouse scale partitions sit at/above the advisory size
+        # and a 64k floor is inert; the env dial restores the default
+        # if a deployment prefers byte-balanced coalescing.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("PDFX_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
