@@ -58,11 +58,15 @@ def build_session(
         # single-threaded (0.4-0.6 s single-task stages in the funnel;
         # incremental_update 3.5 s -> 2.6 s with the floor lowered).
         # At warehouse scale partitions sit at/above the advisory size
-        # and a 64k floor is inert; the env dial restores the default
-        # if a deployment prefers byte-balanced coalescing.
+        # and the floor is inert; the env dial restores the default if
+        # a deployment prefers byte-balanced coalescing. 128k measured
+        # best across the suite (64k over-parallelized the light
+        # multi-shuffle aggregations: +0.3-0.75 s on repetition_stats/
+        # contamination_hits; 128k keeps the hash-heavy wins without
+        # that penalty).
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("PDFX_AQE_MIN_PARTITION", "64k"),
+            os.environ.get("PDFX_AQE_MIN_PARTITION", "128k"),
         )
         .config("spark.ui.enabled", "false")
     )
