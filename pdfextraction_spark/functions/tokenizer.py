@@ -32,12 +32,15 @@ Ranks = Dict[Tuple[str, str], int]
 
 def parse_merges(lines: Iterable[str]) -> Ranks:
     """merges-file lines -> {(left, right): rank}. Skips blank lines
-    and the conventional ``#version`` header; rank = first-seen order
-    (duplicate pairs keep the better/earlier rank)."""
+    and the conventional ``#version`` header ONLY — a real merges file
+    can contain merge pairs whose left token begins with '#' (e.g.
+    "# #" producing the "##" token), which a blanket '#' skip would
+    silently drop, under-counting every '##'-containing word; rank =
+    first-seen order (duplicate pairs keep the better/earlier rank)."""
     ranks: Ranks = {}
     for ln in lines:
         ln = ln.strip("\n")
-        if not ln.strip() or ln.startswith("#"):
+        if not ln.strip() or ln.startswith("#version"):
             continue
         parts = ln.split(" ")
         if len(parts) != 2:

@@ -33,6 +33,16 @@ class TestBpeAlgorithm:
         # duplicate pair keeps the earlier (better) rank
         assert parse_merges(["a b", "a b", "b c"])[("a", "b")] == 0
 
+    def test_parse_merges_keeps_hash_pairs(self):
+        # GPT-2-style merges files contain real merge lines whose left
+        # token begins with '#' (e.g. "# #" -> the "##" token); only
+        # the conventional #version header may be skipped
+        r = parse_merges(["#version: 0.2", "# #", "## #", "a b"])
+        assert r[("#", "#")] == 0
+        assert r[("##", "#")] == 1
+        assert r[("a", "b")] == 2
+        assert len(r) == 3
+
     def test_hand_computed_merge_chain(self):
         r = parse_merges(MERGES)
         # hello: h e l l o -> he -> hel -> lo -> hello (1 token)
