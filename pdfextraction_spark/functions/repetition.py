@@ -245,13 +245,20 @@ def contamination_hits(
     eg = gram_set(eval_docs, eval_id_col, "eval_id")
     tagged = dg.join(F.broadcast(eg), "gram", "left")
     # a gram shared with SEVERAL eval docs fans out in the left join —
-    # count distinct grams, not rows, on both totals and hits
-    agg = tagged.groupBy("doc_id").agg(
-        F.count_distinct(
-            F.when(F.col("eval_id").isNotNull(), F.col("gram"))
-        ).alias("hit_grams"),
-        F.count_distinct("gram").alias("doc_grams"),
-        F.min("eval_id").alias("min_eval_id"),
+    # collapse the fan-out per (doc, gram) first, then count GROUPS.
+    # Equal to the old count_distinct pair because dg is distinct per
+    # (doc, gram) already, but avoids the two-distinct-aggregate
+    # rewrite (Expand doubling every joined row + an extra Exchange:
+    # plan went 3 Exchanges + Expand -> 2 Exchanges, and the (doc,
+    # gram) re-aggregation reuses the distinct's own partitioning).
+    per_gram = tagged.groupBy("doc_id", "gram").agg(
+        F.max(F.col("eval_id").isNotNull()).alias("__hit"),
+        F.min("eval_id").alias("__min_eval"),
+    )
+    agg = per_gram.groupBy("doc_id").agg(
+        F.count(F.when(F.col("__hit"), True)).alias("hit_grams"),
+        F.count("*").alias("doc_grams"),
+        F.min("__min_eval").alias("min_eval_id"),
     )
     return agg.filter(F.col("hit_grams") > 0).select(
         "doc_id",
