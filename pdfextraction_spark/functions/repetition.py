@@ -90,6 +90,38 @@ def ngram_repetition_stats(
         F.length(F.col(text_col)).cast("long").alias("total_chars"),
         F.split(F.col(text_col), " ").alias("toks"),
     )
+    if len(ns) == 1 and not dup_ns:
+        # single-n, top-frac-only fast path (the curation funnel's
+        # gate shape): the n-tagging structs and the pivot exist to
+        # fold SEVERAL n values into one pass — for one n they are
+        # pure overhead (an extra Exchange + pivot aggregation).
+        # Identical values: same (doc, gram) counts, same max of
+        # cnt*len(gram), same 6dp rounding and same empty-doc/no-gram
+        # coalesce — oracle-checked.
+        n = ns[0]
+        staged1 = base.withColumn("gs", word_ngrams(F.col("toks"), n))
+        counted1 = (
+            staged1.select("doc_id", F.explode("gs").alias("gram"))
+            .groupBy("doc_id", "gram")
+            .agg(F.count("*").alias("cnt"))
+        )
+        top1 = counted1.groupBy("doc_id").agg(
+            F.max(F.col("cnt") * F.length(F.col("gram")))
+            .alias("top_chars")
+        )
+        out1 = base.select("doc_id", "total_chars").join(
+            top1, "doc_id", "left"
+        )
+        frac1 = F.when(F.col("total_chars") == 0, F.lit(0.0)).otherwise(
+            F.round(
+                F.coalesce(F.col("top_chars"), F.lit(0))
+                / F.col("total_chars"),
+                6,
+            )
+        )
+        return out1.select(
+            "doc_id", "total_chars", frac1.alias(f"top{n}_frac")
+        )
     def _tagger(n_val):
         # NOT a default-arg lambda: pyspark reads lambda ARITY to
         # decide whether to pass (element) or (element, index) — a
