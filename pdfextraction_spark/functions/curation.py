@@ -52,24 +52,33 @@ def curation_funnel_stages(
     ``bucket_cap`` forwards the saturated-LSH-bucket dial (pathological
     duplicate mass caps each band bucket's pair fan-out while the
     capped pairs still chain the cluster for components)."""
+    from pyspark.sql import Window
+
     t = F.col("text")
     quality = F.round(X.quality_score(t), 4)
     # the gate (quality_score + is_english, the regex-heavy full-
-    # corpus scan) is a subplan of BOTH the canon aggregation and the
-    # semi-join probe side below — materialize its (small,
-    # post-filter) output once so the scan runs once, not twice
-    # (profiled: the doubled gate was ~60% of the survivor-stage wall)
-    gated = docs.filter(
-        (quality >= min_quality) & X.is_english(t)
-    ).localCheckpoint()
+    # corpus scan) has exactly ONE consumer in the chain below (the
+    # canonicalization window), so it needs no materialization of its
+    # own; stages["gated"] stays exposed as the plain filtered plan
+    # (a caller counting it re-runs the gate once — the cli's
+    # reporting path — which is cheaper than an always-paid eager
+    # checkpoint job in the funnel itself).
+    gated = docs.filter((quality >= min_quality) & X.is_english(t))
     norm = X.norm_ws_lower(F.col("text"))
-    canon = (
-        gated.select("doc_id", F.md5(F.encode(norm, "UTF-8")).alias("fp"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # exact-dedup canonicalization as ONE fp-keyed window instead of
+    # the groupBy(fp).min + semi-join-back pair (round 7): min id per
+    # fingerprint group is the same survivor set, but the window form
+    # runs the gate scan once and shuffles once, where the agg+semi
+    # form re-ran the gate on both join sides (or cost an extra
+    # checkpoint job to avoid that). Values oracle-identical.
+    fp = F.md5(F.encode(norm, "UTF-8"))
+    survivors = (
+        gated.withColumn(
+            "__canon_id", F.min("doc_id").over(Window.partitionBy(fp))
+        )
+        .filter(F.col("doc_id") == F.col("__canon_id"))
+        .drop("__canon_id")
     )
-    survivors = gated.join(canon, "doc_id", "semi")
     # the survivor set feeds EVERY later stage — the LSH sketch, the
     # member/score extraction, the anti-join, the repetition gate AND
     # the final semi-join all contain it as a subplan, so without a
