@@ -1014,14 +1014,18 @@ def conversation_dedup(
             "UTF-8",
         )
     )
+    from pyspark.sql import Window
+
     with_fp = g.select("conv_id", fp.alias("fp"))
-    groups = with_fp.groupBy("fp").agg(
-        F.min("conv_id").alias("canonical_id"),
-        F.count("*").alias("group_size"),
-    )
-    return with_fp.join(groups, "fp").select(
+    # per-group canonical/size as ONE fp-keyed window instead of the
+    # groupBy + join-back pair (same values — min and count over the
+    # identical groups; one shuffle, no second aggregation/join)
+    w = Window.partitionBy("fp")
+    return with_fp.select(
         "conv_id",
-        "canonical_id",
-        (F.col("conv_id") == F.col("canonical_id")).alias("is_canonical"),
-        "group_size",
+        F.min("conv_id").over(w).alias("canonical_id"),
+        (F.col("conv_id") == F.min("conv_id").over(w)).alias(
+            "is_canonical"
+        ),
+        F.count("*").over(w).alias("group_size"),
     )
