@@ -145,12 +145,25 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         spark.stop()
 
 
+def _ann_index_report(spark, index_path: str, n_centroids: int) -> dict:
+    """The ann-build report dict. Meta is a versioned append-only log
+    (ann-append adds rows); the report must come from the max-ver row —
+    a raw collect()[0] would report an arbitrary row once the index has
+    been appended to."""
+    from .sources.ann_index import _read_meta
+
+    meta = _read_meta(spark, index_path)
+    return {"index": index_path, "n_centroids": n_centroids,
+            "m": meta.m, "k": meta.k, "n_vectors": meta.n_vectors,
+            "ver": getattr(meta, "ver", 0)}
+
+
 def _cmd_ann_build(args: argparse.Namespace) -> int:
     """Build + persist the IVF-PQ index for an embeddings-shaped
     parquet table (vec_id, embedding) — the build-once half of the
     serve path; prints the index meta as JSON."""
     from .session import build_session
-    from .sources.ann_index import _read_meta, build_ann_index
+    from .sources.ann_index import build_ann_index
 
     spark = build_session("pdfx-ann-build", master=args.master)
     try:
@@ -160,14 +173,8 @@ def _cmd_ann_build(args: argparse.Namespace) -> int:
             k=args.k, dim=args.dim, lloyd_iters=args.lloyd_iters,
             pq_lloyd_iters=args.pq_lloyd_iters,
         )
-        # meta is a versioned append-only log (ann-append adds rows);
-        # _read_meta takes the max-ver row — a raw collect()[0] would
-        # report an arbitrary row once the index has been appended to
-        meta = _read_meta(spark, args.index)
-        print(json.dumps({"index": args.index,
-                          "n_centroids": len(idx.centroids),
-                          "m": meta.m, "k": meta.k,
-                          "n_vectors": meta.n_vectors}))
+        print(json.dumps(
+            _ann_index_report(spark, args.index, len(idx.centroids))))
         return 0
     finally:
         spark.stop()

@@ -1089,14 +1089,14 @@ class TestAnnIndexPersistence:
         assert meta.n_vectors == 300 and meta.ver == 1
         all_meta = spark.read.parquet(p_inc + "/meta.parquet").collect()
         assert sorted(r.ver for r in all_meta) == [0, 1]
-        # the CLI's ann-build report must read through _read_meta too:
-        # a raw collect()[0] over this 2-row log would print an
-        # arbitrary row's n_vectors (the round-5 latent trap)
-        import inspect
+        # the CLI's ann-build report must read the MAX-VER meta row:
+        # exercised against this appended 2-row log — a raw
+        # collect()[0] could report the stale ver-0 row's pre-append
+        # n_vectors (the round-5 latent trap)
+        from pdfextraction_spark.cli import _ann_index_report
 
-        from pdfextraction_spark import cli as _cli
-
-        assert "_read_meta" in inspect.getsource(_cli._cmd_ann_build)
+        report = _ann_index_report(spark, p_inc, 8)
+        assert report["n_vectors"] == 300 and report["ver"] == 1
         p_full = str(tmp_path / "idx_rebuild")
         build_ann_index(
             emb, p_full, n_centroids=8, m=8, k=16, dim=32,
