@@ -44,8 +44,38 @@ def extract_dataframe(
     turns: DataFrame,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     salt_turns: int = MEGA_CONV_TURNS_PER_SALT,
+    shuffle: bool | None = None,
 ) -> DataFrame:
-    """Pure transformation: transcripts -> extracted turns (no sinks)."""
+    """Pure transformation: transcripts -> extracted turns (no sinks).
+
+    Per-turn extraction is row-local (``extract_turns`` is a narrow
+    map with no cross-row state), so the salted exchange contributes
+    nothing to correctness here — it exists to (a) give undersplit
+    inputs parallelism (a single pandas-written parquet file scans as
+    ONE task) and (b) key the resumable job's chunk/manifest
+    semantics (``run_extraction_job`` keeps it unconditionally).
+    When the scan itself already spreads the corpus across the
+    cluster, shuffling every byte before a per-row kernel doubles the
+    I/O for zero gain; at warehouse scale that is a full extra pass
+    over the corpus (guide §2.1: remove shuffles outright).
+
+    ``shuffle=None`` (auto) keeps the exchange unless the input is a
+    file scan with at least ``defaultParallelism`` files — the
+    conservative proxy for "the scan alone saturates the cluster"
+    (file count bounds split count for single-row-group files; a
+    many-file corpus written by any distributed writer passes, the
+    single-file test fixtures keep today's exchange). Values are
+    identical on both paths (pinned by test); output ROW ORDER is not
+    part of the contract either way.
+    """
+    if shuffle is None:
+        try:
+            n_files = len(turns.inputFiles())
+        except Exception:
+            n_files = 0
+        shuffle = n_files < turns.sparkSession.sparkContext.defaultParallelism
+    if not shuffle:
+        return extract_turns(turns)
     return extract_turns(prepare_for_extraction(turns, num_partitions, salt_turns))
 
 

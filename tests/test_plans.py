@@ -46,6 +46,33 @@ class TestPlans:
         assert ("ReadSchema: struct<conv_id:string,turn_idx:int,"
                 "role:string,text:string,ts:timestamp") in plan
 
+    def test_extraction_skips_exchange_on_wide_scans(
+            self, spark, xs_parquet, tmp_path_factory):
+        """Per-turn extraction is row-local, so when the scan already
+        yields >= defaultParallelism files the salted exchange is
+        skipped (guide: remove shuffles outright) — and the two paths
+        are value-identical (the contract the auto dial rests on)."""
+        import pandas as pd
+
+        from pdfextraction_spark.pipeline import extract_dataframe
+
+        src = spark.read.parquet(xs_parquet)
+        wide = str(tmp_path_factory.mktemp("fixtures") / "transcripts_wide")
+        src.repartition(8).write.parquet(wide)
+        turns = spark.read.parquet(wide)
+        auto = extract_dataframe(turns, 8)
+        assert "Exchange" not in _plan(auto)  # scan-parallel: no shuffle
+        forced = extract_dataframe(turns, 8, shuffle=True)
+        assert _plan(forced).count("Exchange") == 1
+
+        def canon(df):
+            pdf = df.toPandas()
+            for c in pdf.columns:
+                pdf[c] = pdf[c].astype(str)
+            return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(canon(auto), canon(forced))
+
     def test_ann_broadcasts_queries(self, spark):
         import __spark_entry__ as em
 
